@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators a large-scale training-data pipeline needs on
+ * top of dedup: language-ID, quality scoring, token counting, document
+ * fingerprinting. All composed from codegen'd built-ins (no UDFs); the
+ * `countValues` diagnostic mirrors the reference's field-value counter
+ * (classes/SolrUpdater.php:704-767).
+ */
+object TextStats {
+
+  /** Tiny per-language marker vocabularies for the n-gram/stopword
+    * language-ID heuristic. Deterministic and self-contained (the corpus
+    * here is synthetic; on real web text these would be the usual
+    * stopword tables). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "de"),
+    "es" -> Seq("el", "la", "los", "y", "de"),
+    "zh" -> Seq("de", "le", "he", "shi", "bu"))
+
+  private def tokensCol(text: Column): Column = split(text, " ")
+
+  /** Token count (whitespace tokenization; empties excluded). */
+  def tokenCount(text: Column): Column =
+    size(filter(tokensCol(text), t => t =!= lit("")))
+
+  /** Stopword hits against a fixed marker list. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokensCol(text), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Quality features, all integer-valued for oracle-stable comparison:
+    * char count, word count, distinct-word count, stopword count, and
+    * distinct/total ratio in permille. */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensCol(t)
+    docs.select(
+      col("doc_id"),
+      length(t).as("char_count"),
+      size(toks).as("word_count"),
+      size(array_distinct(toks)).as("distinct_words"),
+      stopwordCount(t, langMarkers("en")).as("stopword_count"),
+      floor(lit(1000.0) * size(array_distinct(toks)) / size(toks)).cast("long")
+        .as("distinct_permille"))
+  }
+
+  /** Language-ID: argmax of marker-hit counts, ties broken by language
+    * code order, fallback "und" when no marker hits. */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordCount(t, words).as("hits"),
+        // invert code for max() tie-break = first alphabetically
+        lit(lang).as("lang"))
+    }
+    // max by hits; on equal hits array_max picks greater lang code — make
+    // deterministic-first by sorting with a desc-hits, asc-lang key
+    val best = array_sort(array(scored: _*),
+      (l, r) => when(l.getField("hits") > r.getField("hits"), -1)
+        .when(l.getField("hits") < r.getField("hits"), 1)
+        .when(l.getField("lang") < r.getField("lang"), -1)
+        .when(l.getField("lang") > r.getField("lang"), 1)
+        .otherwise(0)).getItem(0)
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+        .as("predicted_lang"))
+  }
+
+  /** Document fingerprint: 64-bit content hash of the exact text plus a
+    * shingle-set sketch hash (order-independent), for cheap
+    * change-detection joins (the reference's `content_hash` role,
+    * classes/RecordManager.php:1059-1066). */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.TextColumns
+    docs.select(
+      col("doc_id"),
+      xxhash64(col(textCol)).as("text_hash"),
+      aggregate(TextColumns.shingleSet(col(textCol), 3), lit(0L),
+        (acc, x) => acc.bitwiseXOR(x)).as("shingle_sketch"))
+  }
+
+  /** `countValues` analog: token frequency across the corpus, descending. */
+  def vocabCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+}
