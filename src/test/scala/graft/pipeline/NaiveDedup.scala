@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.fixtures.CorpusGen.Page
+
+/**
+ * Test-only O(n²) in-memory reference dedupe (SURVEY.md §5.2): exact
+ * shingle-set Jaccard over every pair + the same gates, then union-find.
+ * Independent of the Spark implementation (string shingles, no hashing)
+ * so it can serve as the cluster-assignment oracle for recall/precision.
+ */
+object NaiveDedup {
+
+  def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length == 0) Set.empty
+    else if (toks.length < n) Set(toks.mkString(""))
+    else toks.sliding(n).map(_.mkString("")).toSet
+  }
+
+  final case class Params(shingleSize: Int = 3, threshold: Double = 0.7,
+                          requireSameLang: Boolean = false,
+                          crossSourceOnly: Boolean = false)
+
+  /** All verified duplicate pairs (url_a < url_b). */
+  def duplicatePairs(pages: Seq[Page], p: Params = Params()): Set[(String, String)] = {
+    val sh = pages.map(pg => (pg, shingleSet(pg.text, p.shingleSize)))
+    val out = scala.collection.mutable.Set[(String, String)]()
+    for (i <- sh.indices; j <- (i + 1) until sh.size) {
+      val (a, sa) = sh(i); val (b, sb) = sh(j)
+      val gateOk = (!p.requireSameLang || a.lang == b.lang) &&
+        (!p.crossSourceOnly || a.source != b.source)
+      if (gateOk && sa.nonEmpty && sb.nonEmpty) {
+        val inter = (sa & sb).size
+        val jac = inter.toDouble / (sa.size + sb.size - inter)
+        if (jac >= p.threshold) {
+          val (u, v) = if (a.url < b.url) (a.url, b.url) else (b.url, a.url)
+          out += ((u, v))
+        }
+      }
+    }
+    out.toSet
+  }
+
+  /** Transitive clusters over the verified pairs: url -> min member. */
+  def clusters(pairs: Set[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val verts = pairs.flatMap(e => Seq(e._1, e._2))
+    verts.groupBy(find).values.flatMap { vs => val m = vs.min; vs.map(_ -> m) }.toMap
+  }
+
+  /** Same-cluster url pairs implied by a clustering (for recall compares). */
+  def clusterPairs(clusters: Map[String, String]): Set[(String, String)] =
+    clusters.groupBy(_._2).values.flatMap { m =>
+      val urls = m.keys.toSeq.sorted
+      for (i <- urls.indices; j <- (i + 1) until urls.size) yield (urls(i), urls(j))
+    }.toSet
+}

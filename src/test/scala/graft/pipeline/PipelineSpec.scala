@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.fixtures.CorpusGen
+
+/**
+ * End-to-end pipeline correctness on the seeded planted-duplicate corpus
+ * (FIXTURES.md §2): dup-pair recall ≥ 0.99 vs the naive O(n²) oracle
+ * (the BASELINE.json north-rule criterion), gate behavior, skew-guard
+ * behavior, chain transitivity, and determinism.
+ */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val corpus = CorpusGen.generate(seed = 42L, nBase = 400)
+  private lazy val pagesDf: DataFrame = corpus.pages
+    .map(p => (p.url, new java.sql.Timestamp(p.warcTs * 1000L), p.html, p.text, p.lang, p.source))
+    .toDF("url", "warc_ts", "html", "text", "lang", "source")
+    .cache()
+
+  private def pipelinePairs(cfg: DedupConfig): Set[(String, String)] = {
+    val r = DedupPipeline.run(spark, pagesDf, cfg)
+    r.verifiedPairs.select("url_a", "url_b").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+  }
+
+  test("dup-pair recall >= 0.99 and precision == 1.0 vs naive O(n^2) oracle") {
+    // north-rule metric: same-cluster pairs (the batch pipeline may
+    // star-reduce exact groups, so raw verified pairs under-count;
+    // cluster-implied pairs are the comparable set — SURVEY.md §7.4)
+    val oracle = NaiveDedup.clusterPairs(NaiveDedup.clusters(
+      NaiveDedup.duplicatePairs(corpus.pages, NaiveDedup.Params())))
+    val r = DedupPipeline.run(spark, pagesDf, DedupConfig())
+    val got = NaiveDedup.clusterPairs(
+      r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap)
+    assert(oracle.nonEmpty, "oracle must find planted duplicates")
+    val recall = (oracle & got).size.toDouble / oracle.size
+    val precision = if (got.isEmpty) 1.0 else (oracle & got).size.toDouble / got.size
+    assert(recall >= 0.99, s"recall $recall (missing ${(oracle -- got).take(5)})")
+    assert(precision == 1.0, s"precision $precision (extra ${(got -- oracle).take(5)})")
+  }
+
+  test("cluster assignments match oracle transitive closure") {
+    val oraclePairs = NaiveDedup.duplicatePairs(corpus.pages, NaiveDedup.Params())
+    val oracleClusters = NaiveDedup.clusters(oraclePairs)
+    val r = DedupPipeline.run(spark, pagesDf, DedupConfig())
+    val got = r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(got == oracleClusters)
+  }
+
+  test("reference gates: same-lang and cross-source restrictions") {
+    val gated = DedupConfig(requireSameLang = true, crossSourceOnly = true)
+    val got = pipelinePairs(gated)
+    val oracle = NaiveDedup.duplicatePairs(corpus.pages,
+      NaiveDedup.Params(requireSameLang = true, crossSourceOnly = true))
+    assert(got == oracle)
+    // the planted lang-mismatch and same-host pairs are excluded
+    val langPairs = corpus.duplicatePairs(Set("lang"))
+    val sameHostPairs = corpus.duplicatePairs(Set("same-host"))
+    assert((got & langPairs).isEmpty)
+    assert((got & sameHostPairs).isEmpty)
+    // ...but present without the gates
+    val ungated = pipelinePairs(DedupConfig())
+    assert(langPairs.subsetOf(ungated))
+    assert(sameHostPairs.subsetOf(ungated))
+  }
+
+  test("planted classes: exact+near+chain all clustered; negatives and hot-band not") {
+    val r = DedupPipeline.run(spark, pagesDf, DedupConfig())
+    val clusters = r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    val must = corpus.duplicatePairs(Set("exact", "near", "chain"))
+    val together = must.count { case (a, b) =>
+      clusters.get(a).isDefined && clusters.get(a) == clusters.get(b)
+    }
+    assert(together == must.size,
+      s"all exact/near/chain pairs must co-cluster ($together/${must.size})")
+    // negative-near pairs must not co-cluster
+    val neg = corpus.duplicatePairs(Set("negative"))
+    neg.foreach { case (a, b) =>
+      assert(clusters.get(a).isEmpty || clusters.get(a) != clusters.get(b),
+        s"negative pair ($a,$b) must not cluster")
+    }
+    // hot-band boilerplate pages are identical -> exactly one cluster
+    val hotUrls = corpus.truth.filter(_.kind == "hot-band").map(_.url).toSet
+    val hotClusterIds = hotUrls.flatMap(clusters.get)
+    assert(hotClusterIds.size == 1, s"hot-band pages must form one cluster, got $hotClusterIds")
+    assert(hotUrls.forall(clusters.contains))
+  }
+
+  test("skew guard: bucket cap drops the 60-deep boilerplate buckets, exact channel preserves the cluster") {
+    val capped = DedupConfig(bucketCap = 10)
+    val r = DedupPipeline.run(spark, pagesDf, capped)
+    assert(r.droppedBuckets.count() > 0,
+      "60 identical pages must produce over-cap LSH/probe buckets at cap=10")
+    // even with every hot LSH bucket dropped, the exact content-hash
+    // channel (star-reduced, cap-free) still clusters all 60 pages
+    val clusters = r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    val hotUrls = corpus.truth.filter(_.kind == "hot-band").map(_.url).toSet
+    assert(hotUrls.forall(clusters.contains))
+    assert(hotUrls.flatMap(clusters.get).size == 1)
+  }
+
+  test("determinism: two runs produce identical cluster tables") {
+    val a = DedupPipeline.run(spark, pagesDf, DedupConfig())
+      .clusters.collect().map(_.toString).sorted
+    val b = DedupPipeline.run(spark, pagesDf, DedupConfig())
+      .clusters.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("checkpoint/resume: interrupted run resumes from committed stages, same output") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val cfg = DedupConfig()
+    // full run with checkpoints
+    val r1 = DedupPipeline.run(spark, pagesDf, cfg, Some(root))
+    val full = r1.clusters.collect().map(_.toString).sorted
+    // simulate a crash after candidate generation: delete later stages
+    for (stage <- Seq("verified_pairs", "clusters", "merged_clusters")) {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root, s"$stage.manifest.json"))
+    }
+    val r2 = DedupPipeline.run(spark, pagesDf, cfg, Some(root))
+    val resumed = r2.clusters.collect().map(_.toString).sorted
+    assert(resumed.sameElements(full))
+    // config change invalidates reuse (different hash -> recompute, same result)
+    val r3 = DedupPipeline.run(spark, pagesDf, cfg.copy(bucketCap = 999), Some(root))
+    assert(r3.clusters.collect().map(_.toString).sorted.sameElements(full))
+  }
+}
