@@ -1,24 +1,110 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.fixtures.SyntheticPages
+import graft.pipeline.{DedupConfig, DedupPipeline, DedupStages}
+
+/**
+ * Benchmark main (driver contract): headline queries on
+ * `SPARK_GRAFT_SF_DIR`, ONE JSON result line on stdout.
+ *
+ * Also produces the BASELINE.md scaling-efficiency evidence (the sandbox
+ * substitute for the north rule's N-vs-4N-executor criterion): the full
+ * dedup pipeline is run on the same input at local[8]/8 shuffle
+ * partitions and local[32]/32 shuffle partitions, and the JSON carries
+ * docs/sec at both plus efficiency = (docs_s_32 / docs_s_8) / 4.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Full pipeline, all stages forced; returns wall seconds. */
+  private def runPipeline(s: SparkSession, pages: => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    val r = DedupPipeline.run(s, pages, DedupConfig())
+    r.verifiedPairs.count(); r.clusters.count(); r.merged.count()
+    r.signatures.unpersist(); r.verifiedPairs.unpersist()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def sfPages(s: SparkSession, sfDir: String) =
+    DedupStages.pagesFromDocuments(s.read.parquet(s"$sfDir/documents.parquet"))
+
+  private def time(f: => Long): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // ---- headline queries at the requested parallelism
+    var s = session(cpus)
+    val nDocs = s.read.parquet(s"$sfDir/documents.parquet").count()
+    val warmup = runPipeline(s, sfPages(s, sfDir)) // discard (JIT/codegen warm)
+    val tPipeline = runPipeline(s, sfPages(s, sfDir))
+    def docsDf: DataFrame = s.read.parquet(s"$sfDir/documents.parquet")
+    val tVocab = time(graft.ops.TextStats.vocabCounts(docsDf).count())
+    val tQuality = time(graft.ops.TextStats.qualityFeatures(docsDf).count())
+    val tKnn = time(graft.ops.Similarity.knnBrute(
+      s.read.parquet(s"$sfDir/embeddings.parquet")).count())
+    val tExact = time {
+      val p = DedupStages.signatures(DedupStages.pagesFromDocuments(docsDf), DedupConfig())
+      DedupStages.exactCandidates(p).count()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // ---- scaling evidence: same job, local[8] vs local[32], on a
+    // distributed deterministic corpus big enough that compute (MinHash,
+    // band joins, verify) dominates fixed stage-scheduling overhead —
+    // the sandbox substitute for N vs 4N executors (BASELINE.md).
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "400000").toLong
+    // stage the corpus as a real on-disk table once (both parallelism
+    // levels then read identical input files, like an Iceberg snapshot)
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-bench-pages").toString
+    SyntheticPages.generate(s, scaleN).write.mode("overwrite").parquet(corpusDir)
+    def pagesAt(sess: SparkSession) = sess.read.parquet(corpusDir)
+    // N vs 4N cores; min-of-2 after a warm-up per level — the sandbox
+    // host is multi-tenant (host loadavg >10 with this container idle),
+    // so the pair is sized to fit beside the foreign load and single
+    // samples are noisy
+    val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
+    val hi = lo * 4
+    s = session(lo)
+    runPipeline(s, pagesAt(s)) // warm-up, discarded
+    val tLo = math.min(runPipeline(s, pagesAt(s)), runPipeline(s, pagesAt(s)))
+    s = session(hi)
+    runPipeline(s, pagesAt(s))
+    val tHi = math.min(runPipeline(s, pagesAt(s)), runPipeline(s, pagesAt(s)))
+    val dLo = scaleN / tLo
+    val dHi = scaleN / tHi
+    val eff = (dHi / dLo) / 4.0
+
+    val queries = Seq(
+      "pipeline_full" -> tPipeline,
+      "pipeline_warmup" -> warmup,
+      "vocab_counts" -> tVocab,
+      "quality_features" -> tQuality,
+      "knn_brute" -> tKnn,
+      "exact_candidates" -> tExact)
+    val qJson = queries.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val total = queries.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":${f"${nDocs / tPipeline}%.1f"},"scale_n":$scaleN,"scaling":{"cores_n":$lo,"cores_4n":$hi,"docs_per_sec_n":${f"$dLo%.1f"},"docs_per_sec_4n":${f"$dHi%.1f"},"wall_s_n":${f"$tLo%.3f"},"wall_s_4n":${f"$tHi%.3f"},"efficiency_n_to_4n":${f"$eff%.3f"}}}""")
+    s.stop()
   }
 }

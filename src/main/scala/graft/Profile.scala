@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.fixtures.SyntheticPages
+import graft.pipeline.{ConnectedComponents, DedupConfig, DedupPipeline, DedupStages}
+
+/** Per-stage wall-clock breakdown of the dedup pipeline on the synthetic
+  * corpus — the tuning loop for the scaling-efficiency work. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "120000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = DedupConfig()
+
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($r)")
+    }
+
+    val pages = SyntheticPages.generate(spark, n)
+    t("warm-gen-count") { pages.count() }
+    val sigs = DedupStages.signatures(pages, cfg).cache()
+    t("signatures") { sigs.count() }
+    val bands = DedupStages.lshBands(sigs, cfg)
+    t("lsh_bands") { bands.count() }
+    val (lsh, lshDrop) = DedupStages.lshCandidates(sigs, cfg)
+    t("lsh_candidates") { lsh.count() }
+    val (sim, _) = DedupStages.simhashCandidates(sigs, cfg)
+    t("simhash_candidates") { sim.count() }
+    t("exact_candidates") { DedupStages.exactCandidates(sigs).count() }
+    val (cand, _) = DedupStages.candidates(sigs, cfg)
+    val candC = cand.cache()
+    t("candidates_union") { candC.count() }
+    val ver = DedupStages.verified(candC, sigs, cfg).cache()
+    t("verified") { ver.count() }
+    t("cc_clusters") { DedupStages.clusters(ver).count() }
+    t("full_pipeline_again") {
+      val r = DedupPipeline.run(spark, SyntheticPages.generate(spark, n), cfg)
+      val x = r.verifiedPairs.count() + r.clusters.count() + r.merged.count()
+      r.signatures.unpersist(); r.verifiedPairs.unpersist(); x
+    }
+    spark.stop()
+  }
+}

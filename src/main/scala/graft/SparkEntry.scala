@@ -34,9 +34,9 @@ object SparkEntry {
   /** One pipeline run per (session, sfDir), cached — several queries
     * expose different stages of the same run. */
   private val pipelineCache =
-    new scala.collection.concurrent.TrieMap[String, DedupPipeline.Result]()
+    new scala.collection.concurrent.TrieMap[(Int, String), DedupPipeline.Result]()
   private def pipe(s: SparkSession, dir: String): DedupPipeline.Result =
-    pipelineCache.getOrElseUpdate(dir, {
+    pipelineCache.getOrElseUpdate((System.identityHashCode(s), dir), {
       val r = DedupPipeline.run(s, pages(s, dir), cfg)
       DedupPipeline.Result(
         r.signatures.cache(), r.candidatePairs.cache(), r.droppedBuckets.cache(),
@@ -75,7 +75,8 @@ object SparkEntry {
        |  END AS s FROM d),
        |jp AS (SELECT a.url AS url_a, b.url AS url_b,
        |  len(list_intersect(a.s, b.s)) AS i,
-       |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+       |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u,
+       |  least(len(a.s), len(b.s)) AS mn
        |  FROM sh a JOIN sh b ON a.url < b.url)""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -202,19 +203,33 @@ object SparkEntry {
     "q_minhash_sig" -> ((s, dir) =>
       pipe(s, dir).signatures.select(col("url"), col("minhash"))),
 
-    "q_lsh_bands" -> ((s, dir) =>
-      DedupStages.lshBands(pipe(s, dir).signatures, cfg)
-        .select(col("url"), col("band_id").cast("long").as("band_id"), col("band_hash"))),
+    "q_lsh_bands" -> ((s, dir) => {
+      val sigs = pipe(s, dir).signatures
+      DedupStages.lshBands(sigs, cfg)
+        .join(sigs.select(col("doc_id"), col("url")), "doc_id")
+        .select(col("url"), col("band_id").cast("long").as("band_id"), col("band_hash"))
+    }),
 
-    "q_candidate_pairs" -> ((s, dir) =>
-      pipe(s, dir).candidatePairs.select("url_a", "url_b", "channels")),
+    "q_candidate_pairs" -> ((s, dir) => {
+      val sigs = pipe(s, dir).signatures
+      pipe(s, dir).candidatePairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("url").as("ua")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("url").as("ub")), "id_b")
+        .select(least(col("ua"), col("ub")).as("url_a"),
+          greatest(col("ua"), col("ub")).as("url_b"), col("channels"))
+    }),
 
     "q_dropped_buckets" -> ((s, dir) =>
       pipe(s, dir).droppedBuckets.select("channel", "bucket_key", "bucket_n")),
 
     "q_simhash_pairs" -> ((s, dir) => {
-      val (pairs, _) = DedupStages.simhashCandidates(pipe(s, dir).signatures, cfg)
-      pairs.select("url_a", "url_b")
+      val sigs = pipe(s, dir).signatures
+      val (pairs, _) = DedupStages.simhashCandidates(sigs, cfg)
+      pairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("url").as("ua")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("url").as("ub")), "id_b")
+        .select(least(col("ua"), col("ub")).as("url_a"),
+          greatest(col("ua"), col("ub")).as("url_b"))
     }),
 
     "q_near_dup_pairs" -> ((s, dir) =>
@@ -357,11 +372,13 @@ object SparkEntry {
     "q_near_dup_pairs" ->
       s"""WITH $shingleCte
          |SELECT url_a, url_b, CAST(floor((i * 1.0 / u) * 1000) AS BIGINT) AS jac_permille
-         |FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}""".stripMargin,
+         |FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}
+         |   OR i * 1.0 / mn >= ${cfg.containmentThreshold}""".stripMargin,
 
     "q_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
-         |e AS (SELECT url_a AS u, url_b AS v FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}),
+         |e AS (SELECT url_a AS u, url_b AS v FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}
+         |   OR i * 1.0 / mn >= ${cfg.containmentThreshold}),
          |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
          |reach(a, b) AS (SELECT u, v FROM sym
          |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u WHERE r.a <> s.v)
@@ -369,7 +386,8 @@ object SparkEntry {
 
     "q_merged_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
-         |e AS (SELECT url_a AS u, url_b AS v FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}),
+         |e AS (SELECT url_a AS u, url_b AS v FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}
+         |   OR i * 1.0 / mn >= ${cfg.containmentThreshold}),
          |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
          |reach(a, b) AS (SELECT u, v FROM sym
          |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u WHERE r.a <> s.v),

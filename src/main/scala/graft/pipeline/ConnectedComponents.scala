@@ -48,7 +48,9 @@ object ConnectedComponents {
     var sig = checksum(e)
     while (!converged && iter < maxIter) {
       // large-star: for every node u, connect all strictly-larger
-      // neighbors to min(N(u) ∪ {u})
+      // neighbors to min(N(u) ∪ {u}). Duplicate emissions are harmless
+      // (absorbed by small-star's min + final distinct), so no extra
+      // dedup shuffle here.
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
@@ -57,7 +59,6 @@ object ConnectedComponents {
       val large = sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
 
       // small-star: for every node u, connect u and its smaller
       // neighbors to the minimum of them
@@ -69,6 +70,11 @@ object ConnectedComponents {
         .where(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .distinct()
+        // localCheckpoint (NOT cache): truncates the LOGICAL plan to an
+        // RDD leaf. The iteration's plan references its input ~12×, so
+        // without truncation the tree grows ~12^k and even building its
+        // explain string hangs the driver. On a real cluster this becomes
+        // reliable checkpoint()/an intermediate Iceberg table.
         .localCheckpoint(true)
 
       val newSig = checksum(small)

@@ -24,6 +24,15 @@ final case class DedupConfig(
     rowsPerBand: Int = 4,
     simhashMaxHamming: Int = 3,
     jaccardThreshold: Double = 0.7,
+    /** substring channel (the suffix-array-pass analog): token window of
+      * the anchor fingerprints and the winnowing window; any shared token
+      * run >= substrWindow + winnowWindow - 1 shares an anchor. */
+    substrWindow: Int = 24,
+    winnowWindow: Int = 16,
+    /** containment |A∩B| / min(|A|,|B|) acceptance for substring-style
+      * duplication (a page embedded verbatim in a longer page has low
+      * Jaccard but containment ≈ 1). */
+    containmentThreshold: Double = 0.9,
     /** skew guard: LSH band / SimHash probe buckets larger than this are
       * dropped (and logged) — the analog of the reference's
       * 1000-candidates-per-key cap (classes/RecordManager.php:1402-1410). */
@@ -98,62 +107,99 @@ object DedupStages {
   def signatures(pages: DataFrame, cfg: DedupConfig): DataFrame = {
     val toks = TextColumns.tokenHashes(col("text"))
     withSource(pages)
+      // compact dictionary id: the 32-rows-per-doc band table (and every
+      // other bucket table) shuffles an 8-byte id instead of the url
+      // string; urls are translated back in the verify join. Stable for a
+      // fixed input snapshot (and frozen once the stage is checkpointed).
+      .withColumn("doc_id", monotonically_increasing_id())
       .select(
-        col("url"), col("source"), col("lang"),
+        col("doc_id"), col("url"), col("source"), col("lang"),
         md5(col("text")).as("content_hash"),
         toks.as("token_hashes"))
       .select(
-        col("url"), col("source"), col("lang"), col("content_hash"),
+        col("doc_id"), col("url"), col("source"), col("lang"), col("content_hash"),
         size(col("token_hashes")).as("n_tokens"),
-        array_distinct(TextColumns.shingleHashes(col("token_hashes"), cfg.shingleSize)).as("shingles"),
-        simhash64(col("token_hashes")).as("simhash"))
+        TextColumns.shingleHashes(col("token_hashes"), cfg.shingleSize).as("shingles_all"),
+        graft.functions.winnow.winnowAnchors(
+          TextColumns.shingleHashes(col("token_hashes"), cfg.substrWindow),
+          cfg.winnowWindow).as("anchors_all"))
       .select(
-        col("url"), col("source"), col("lang"), col("content_hash"),
+        col("doc_id"), col("url"), col("source"), col("lang"), col("content_hash"),
+        col("n_tokens"),
+        array_distinct(col("shingles_all")).as("shingles"),
+        array_distinct(col("anchors_all")).as("anchors"),
+        // SimHash over SHINGLE hashes (not bare tokens): n-gram profiles
+        // separate unrelated documents that share a small vocabulary,
+        // token-level profiles don't (they made this channel a
+        // collision storm on low-entropy text)
+        simhash64(col("shingles_all")).as("simhash"))
+      .select(
+        col("doc_id"), col("url"), col("source"), col("lang"), col("content_hash"),
         col("n_tokens"),
         col("shingles"),
         size(col("shingles")).as("n_shingles"),
+        col("anchors"),
         minhashSignature(col("shingles"), cfg.minhashK, cfg.seed).as("minhash"),
         col("simhash"))
   }
 
   // ------------------------------------------------------------ channels
 
-  /** LSH band table: (band_id, band_hash, url). The explode is the analog
+  /** LSH band table: (band_id, band_hash, doc_id). The explode is the analog
     * of the reference's per-record key arrays feeding sparse indexes
     * (classes/RecordManager.php:1298-1309, dbscripts/mongo.js:2-4). */
   def lshBands(sigs: DataFrame, cfg: DedupConfig): DataFrame =
     sigs
       .where(col("n_shingles") > 0)
-      .select(col("url"),
+      .select(col("doc_id"),
         posexplode(lshBandHashes(col("minhash"), cfg.bands, cfg.rowsPerBand))
           .as(Seq("band_id", "band_hash")))
 
-  /** Buckets larger than the cap are degenerate (boilerplate) — drop them,
-    * like the reference's too-many-candidates guard
-    * (classes/RecordManager.php:1402-1410). Returns (kept, dropped-log). */
-  def capBuckets(table: DataFrame, keyCols: Seq[String], cap: Int): (DataFrame, DataFrame) = {
-    val counts = table.groupBy(keyCols.map(col): _*).agg(F.count(lit(1)).as("bucket_n"))
-    val keyed = table.join(counts, keyCols)
-    (keyed.where(col("bucket_n") <= cap).drop("bucket_n"),
-      counts.where(col("bucket_n") > cap))
+  /** ONE shuffle of the bucket table into bounded per-bucket member lists
+    * + true counts (graft.functions.CappedCollect): buckets over the cap
+    * are degenerate boilerplate — their members are reported to the
+    * dropped-log, never pair-expanded. The scale-safe successor of the
+    * reference's too-many-candidates guard
+    * (classes/RecordManager.php:1402-1410). */
+  private def cappedBuckets(table: DataFrame, keyCols: Seq[String], cap: Int,
+                            tag: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    // Phase 1 — counts: partial (map-side) aggregation makes this shuffle
+    // ~|distinct keys| tiny rows; at web scale almost all buckets are
+    // singletons, so filtering them here keeps the heavy member-collect
+    // off >90% of the data.
+    val multi = table.groupBy(keys: _*).agg(F.count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") >= 2)
+    // Phase 2 — bounded member collect on multi-member buckets only
+    // (left-semi join; AQE turns it into a broadcast when the hot-key set
+    // is small). CappedCollect keeps memory O(cap) even on degenerate
+    // buckets and reports their true counts.
+    val collect = org.apache.spark.sql.functions.udaf(new graft.functions.CappedCollect(cap))
+    table.join(multi.select(keys: _*), keyCols, "left_semi")
+      .groupBy(keys: _*).agg(collect(col("doc_id"), tag).as("g"))
   }
 
-  /** Self-join pairs within equal buckets, canonicalized url_a < url_b.
-    * Catalyst plans this as a shuffled equi-join on the bucket key; AQE
-    * skew-join splitting backstops any residual hot key below the cap. */
-  private def bucketPairs(table: DataFrame, keyCols: Seq[String], channel: String): DataFrame = {
-    val l = table.select(keyCols.map(col) :+ col("url").as("url_a"): _*)
-    val r = table.select(keyCols.map(col) :+ col("url").as("url_b"): _*)
-    l.join(r, keyCols)
-      .where(col("url_a") < col("url_b"))
-      .select(col("url_a"), col("url_b"), lit(channel).as("channel"))
-      .distinct()
-  }
+  /** All unordered member pairs of a (≤ cap) struct array, expanded
+    * in-task (no self-join): element i paired with every later element. */
+  private def pairExpand(m: Column): Column =
+    flatten(transform(m, (x, i) =>
+      transform(slice(m, i + lit(2), size(m)), y => struct(x.as("a"), y.as("b")))))
 
-  /** Channel 1 — MinHash LSH band join. */
+  /** Channel 1 — MinHash LSH banding: bucket by (band_id, band_hash),
+    * expand pairs within kept buckets. */
   def lshCandidates(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
-    val (kept, dropped) = capBuckets(lshBands(sigs, cfg), Seq("band_id", "band_hash"), cfg.bucketCap)
-    (bucketPairs(kept, Seq("band_id", "band_hash"), "minhash_lsh"), dropped)
+    val buckets = cappedBuckets(lshBands(sigs, cfg),
+      Seq("band_id", "band_hash"), cfg.bucketCap, lit(0L))
+    val dropped = buckets.where(col("g.count") > cfg.bucketCap)
+      .select(col("band_id"), col("band_hash"), col("g.count").as("bucket_n"))
+    val pairs = buckets
+      .where(col("g.count") <= cfg.bucketCap && col("g.count") >= 2)
+      .select(sort_array(col("g.ids")).as("m"))
+      .select(explode(pairExpand(col("m"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
+        lit("minhash_lsh").as("channel"))
+      .distinct()
+    (pairs, dropped)
   }
 
   /** SimHash probe table: 4 × 16-bit chunks. Any pair within Hamming
@@ -164,52 +210,120 @@ object DedupStages {
       struct(lit(i).as("probe_id"),
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("probe_val"))): _*)
     sigs.where(col("n_shingles") > 0)
-      .select(col("url"), col("simhash"), explode(chunks).as("p"))
-      .select(col("url"), col("simhash"), col("p.probe_id"), col("p.probe_val"))
+      .select(col("doc_id"), col("simhash"), explode(chunks).as("p"))
+      .select(col("doc_id"), col("simhash"), col("p.probe_id"), col("p.probe_val"))
   }
 
-  /** Channel 2 — SimHash Hamming-ball probing: chunk equi-join + exact
-    * Hamming residual via bit_count(xor). */
+  /** Channel 2 — SimHash Hamming-ball probing: bucket by 16-bit chunk,
+    * expand pairs within kept buckets (the simhash value rides along as
+    * the collector tag, so no join back to the signature table), then the
+    * exact Hamming residual via bit_count(xor). */
   def simhashCandidates(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
-    val probes = simhashProbes(sigs)
-    val (kept, dropped) = capBuckets(probes, Seq("probe_id", "probe_val"), cfg.bucketCap)
-    val l = kept.select(col("probe_id"), col("probe_val"), col("url").as("url_a"), col("simhash").as("sh_a"))
-    val r = kept.select(col("probe_id"), col("probe_val"), col("url").as("url_b"), col("simhash").as("sh_b"))
-    val pairs = l.join(r, Seq("probe_id", "probe_val"))
-      .where(col("url_a") < col("url_b"))
-      .where(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= cfg.simhashMaxHamming)
-      .select(col("url_a"), col("url_b"), lit("simhash").as("channel"))
+    val buckets = cappedBuckets(simhashProbes(sigs),
+      Seq("probe_id", "probe_val"), cfg.bucketCap, col("simhash"))
+    val dropped = buckets.where(col("g.count") > cfg.bucketCap)
+      .select(col("probe_id"), col("probe_val"), col("g.count").as("bucket_n"))
+    val pairs = buckets
+      .where(col("g.count") <= cfg.bucketCap && col("g.count") >= 2)
+      .select(array_sort(zip_with(col("g.ids"), col("g.tags"),
+        (u, t) => struct(u.as("u"), t.as("t")))).as("m"))
+      .select(explode(pairExpand(col("m"))).as("p"))
+      .where(bit_count(col("p.a.t").bitwiseXOR(col("p.b.t"))) <= cfg.simhashMaxHamming)
+      .select(col("p.a.u").as("id_a"), col("p.b.u").as("id_b"),
+        lit("simhash").as("channel"))
       .distinct()
     (pairs, dropped)
   }
 
-  /** Channel 3 — exact content hash. Within an identical-text group the
+  /** Channel 3 — substring duplication (north rule's suffix-array pass,
+    * re-based on winnowed anchor fingerprints — see
+    * graft.functions.WinnowAnchors): docs sharing an exact token run of
+    * >= substrWindow + winnowWindow - 1 tokens share an anchor, so the
+    * anchor bucket join is a complete candidate generator for verbatim
+    * containment (FIXTURES.md "substr" class). */
+  def substringCandidates(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+    val anchors = sigs.where(size(col("anchors")) > 0)
+      .select(col("doc_id"), explode(col("anchors")).as("anchor"))
+    val buckets = cappedBuckets(anchors, Seq("anchor"), cfg.bucketCap, lit(0L))
+    val dropped = buckets.where(col("g.count") > cfg.bucketCap)
+      .select(col("anchor"), col("g.count").as("bucket_n"))
+    val pairs = buckets
+      .where(col("g.count") <= cfg.bucketCap && col("g.count") >= 2)
+      .select(sort_array(col("g.ids")).as("m"))
+      .select(explode(pairExpand(col("m"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
+        lit("substring").as("channel"))
+      .distinct()
+    (pairs, dropped)
+  }
+
+  /** Channel 4 — exact content hash. Within an identical-text group the
     * component is fully determined, so emit a STAR (min-url rep → member)
     * instead of all O(m²) pairs — same connected components, linear size.
     * (Analog of the reference's shared-ISBN immediate match,
     * classes/RecordManager.php:1500-1512.) */
   def exactCandidates(sigs: DataFrame): DataFrame = {
-    val reps = sigs.groupBy(col("content_hash")).agg(F.min(col("url")).as("url_a"), F.count(lit(1)).as("m"))
+    val reps = sigs.groupBy(col("content_hash"))
+      .agg(F.min(col("doc_id")).as("id_a"), F.count(lit(1)).as("m"))
       .where(col("m") > 1).drop("m")
     sigs.join(reps, "content_hash")
-      .where(col("url") =!= col("url_a"))
-      .select(col("url_a"), col("url").as("url_b"), lit("exact").as("channel"))
+      .where(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"), lit("exact").as("channel"))
+  }
+
+  /** Unified probe table: LSH bands, SimHash chunks and substring anchors
+    * in ONE (channel, bucket_key, doc_id, tag) relation, so candidate
+    * generation is a single count-prefilter + a single bounded collect
+    * over ALL probe families instead of three separate shuffle pipelines —
+    * fewer, larger stages (better executor utilization at any scale). The
+    * bucket_key packs the family's fields through one more splitmix round;
+    * a cross-family key collision merely merges two buckets, which the
+    * verify stage neutralizes. */
+  def probeTable(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val bands = lshBands(sigs, cfg).select(
+      lit("minhash_lsh").as("channel"),
+      xxhash64(lit(0), col("band_id"), col("band_hash")).as("bucket_key"),
+      col("doc_id"), lit(0L).as("tag"))
+    val probes = simhashProbes(sigs).select(
+      lit("simhash").as("channel"),
+      xxhash64(lit(1), col("probe_id"), col("probe_val")).as("bucket_key"),
+      col("doc_id"), col("simhash").as("tag"))
+    val anchors = sigs.where(size(col("anchors")) > 0)
+      .select(col("doc_id"), explode(col("anchors")).as("anchor"))
+      .select(lit("substring").as("channel"),
+        xxhash64(lit(2), col("anchor")).as("bucket_key"),
+        col("doc_id"), lit(0L).as("tag"))
+    bands.unionByName(probes).unionByName(anchors)
   }
 
   /** All channels unioned with provenance (channels collected per pair —
     * the reference records which key family produced a match only in logs;
     * we keep it queryable). Returns (pairs, droppedBucketsLog). */
-  def candidates(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
-    val (lsh, dropLsh) = lshCandidates(sigs, cfg)
-    val (sim, dropSim) = simhashCandidates(sigs, cfg)
-    val exact = exactCandidates(sigs)
-    val pairs = lsh.unionByName(sim).unionByName(exact)
-      .groupBy(col("url_a"), col("url_b"))
+  def candidates(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) =
+    candidatesFromProbes(probeTable(sigs, cfg), sigs, cfg)
+
+  /** Same, over an explicit probe table — the incremental pass restricts
+    * the probes to dirty-touching buckets (graft.pipeline.IncrementalDedup). */
+  def candidatesFromProbes(probes: DataFrame, sigs: DataFrame,
+                           cfg: DedupConfig): (DataFrame, DataFrame) = {
+    val buckets = cappedBuckets(probes,
+      Seq("channel", "bucket_key"), cfg.bucketCap, col("tag"))
+    val dropped = buckets.where(col("g.count") > cfg.bucketCap)
+      .select(col("channel"), col("bucket_key"), col("g.count").as("bucket_n"))
+    val probePairs = buckets
+      .where(col("g.count") <= cfg.bucketCap && col("g.count") >= 2)
+      .select(col("channel"), array_sort(zip_with(col("g.ids"), col("g.tags"),
+        (u, t) => struct(u.as("u"), t.as("t")))).as("m"))
+      .select(col("channel"), explode(pairExpand(col("m"))).as("p"))
+      // SimHash buckets carry the full simhash as tag: apply the exact
+      // Hamming residual; other families pair unconditionally
+      .where(col("channel") =!= "simhash" ||
+        bit_count(col("p.a.t").bitwiseXOR(col("p.b.t"))) <= cfg.simhashMaxHamming)
+      .select(col("p.a.u").as("id_a"), col("p.b.u").as("id_b"), col("channel"))
+      .distinct()
+    val pairs = probePairs.unionByName(exactCandidates(sigs))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(sort_array(collect_set(col("channel"))).as("channels"))
-    val dropped = dropLsh.select(lit("minhash_lsh").as("channel"),
-        col("band_hash").as("bucket_key"), col("bucket_n"))
-      .unionByName(dropSim.select(lit("simhash").as("channel"),
-        col("probe_val").cast("long").as("bucket_key"), col("bucket_n")))
     (pairs, dropped)
   }
 
@@ -220,23 +334,29 @@ object DedupStages {
     * shingle sets with hard gates. Exact-channel pairs are identical text
     * (J = 1) and skip the set arithmetic. */
   def verified(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val side = sigs.select(col("url"), col("source"), col("lang"), col("shingles"),
-      col("n_shingles"), col("content_hash"))
+    val side = sigs.select(col("doc_id").as("jid"), col("url"), col("source"),
+      col("lang"), col("shingles"), col("n_shingles"), col("content_hash"))
     val a = side.toDF(side.columns.map(_ + "_a"): _*)
     val b = side.toDF(side.columns.map(_ + "_b"): _*)
     var joined = pairs
-      .join(a, "url_a")
-      .join(b, "url_b")
+      .join(a, col("id_a") === col("jid_a")).drop("jid_a")
+      .join(b, col("id_b") === col("jid_b")).drop("jid_b")
     if (cfg.requireSameLang) joined = joined.where(col("lang_a") === col("lang_b"))
     if (cfg.crossSourceOnly) joined = joined.where(col("source_a") =!= col("source_b"))
     joined
-      .select(col("url_a"), col("url_b"), col("channels"),
+      .select(
+        least(col("url_a"), col("url_b")).as("u1"),
+        greatest(col("url_a"), col("url_b")).as("u2"),
+        col("channels"),
         size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("long").as("n_inter"),
         col("n_shingles_a").cast("long").as("na"), col("n_shingles_b").cast("long").as("nb"))
-      .select(col("url_a"), col("url_b"), col("channels"), col("n_inter"),
-        (col("na") + col("nb") - col("n_inter")).as("n_union"))
+      .select(col("u1").as("url_a"), col("u2").as("url_b"), col("channels"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        least(col("na"), col("nb")).as("n_min"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union").cast("double"))
-      .where(col("jaccard") >= cfg.jaccardThreshold)
+      .withColumn("containment", col("n_inter").cast("double") / col("n_min").cast("double"))
+      .where(col("jaccard") >= cfg.jaccardThreshold ||
+        col("containment") >= cfg.containmentThreshold)
   }
 
   // -------------------------------------------------------------- clusters
@@ -258,9 +378,8 @@ object DedupStages {
       .agg(
         F.count(lit(1)).as("size"),
         sort_array(collect_list(col("url"))).as("members"),
-        F.max(struct(length(col("text")).as("len"),
-          // min-url tiebreak under max(): invert the url ordering bytewise
-          col("url"), col("text"))).getField("text").as("rep_text"),
+        F.min(struct((-length(col("text"))).as("neg_len"), col("url"), col("text")))
+          .getField("text").as("rep_text"),
         F.min(struct((-length(col("text"))).as("neg_len"), col("url")))
           .getField("url").as("rep_url"),
         sort_array(collect_set(col("lang"))).as("langs"),
@@ -304,9 +423,12 @@ object DedupPipeline {
     val candC = TableIO.stage(spark, checkpointRoot, "candidate_pairs", ch, fp)(cand)
     val droppedC = TableIO.stage(spark, checkpointRoot, "dropped_buckets", ch, fp)(dropped)
 
-    val ver = TableIO.stage(spark, checkpointRoot, "verified_pairs", ch, fp) {
+    val ver0 = TableIO.stage(spark, checkpointRoot, "verified_pairs", ch, fp) {
       DedupStages.verified(candC, sigsC, cfg)
     }
+    // verified feeds both CC (eager) and downstream reads; cache when not
+    // already checkpoint-backed
+    val ver = if (checkpointRoot.isEmpty) ver0.cache() else ver0
     val clu = TableIO.stage(spark, checkpointRoot, "clusters", ch, fp) {
       DedupStages.clusters(ver)
     }

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental re-dedup of a new `pages` snapshot against a previous run —
+ * the Spark form of the reference's dirty-record pass:
+ *
+ *  - content-hash short-circuit: rows whose (url, md5(text)) is unchanged
+ *    keep their previous signatures, no recompute
+ *    (classes/RecordManager.php:1059-1066)
+ *  - `update_needed` dirty set: only added/changed docs are re-signed,
+ *    and candidate generation runs only over probe buckets that CONTAIN a
+ *    dirty doc — the batch equivalent of probing the key indexes per
+ *    dirty record (classes/RecordManager.php:559-565,1326-1427)
+ *  - pairs between two unchanged docs are carried over from the previous
+ *    verified table; pairs touching a changed/deleted doc are dropped and
+ *    (for changed docs) rediscovered
+ *  - deletes propagate: a vanished url loses its membership and the
+ *    cluster re-forms without it (cluster shrink/dissolve,
+ *    classes/RecordManager.php:1739-1761)
+ *
+ * Known (documented) deviation from a cold full run: an over-cap bucket
+ * that falls back under the cap purely through deletions of untouched
+ * members is not re-expanded until one of its members changes — the same
+ * history dependence the reference's hot-key memo has
+ * (classes/RecordManager.php:1402-1410).
+ */
+object IncrementalDedup {
+
+  final case class PrevState(signatures: DataFrame, verifiedPairs: DataFrame)
+
+  def run(spark: SparkSession, prev: PrevState, newPages: DataFrame,
+          cfg: DedupConfig = DedupConfig()): DedupPipeline.Result = {
+    val pagesSrc = DedupStages.withSource(newPages)
+    val newHashes = pagesSrc.select(col("url"), md5(col("text")).as("ch"))
+
+    // unchanged = same url AND same content hash as the previous run
+    val oldSigs = prev.signatures
+    val unchangedSigs = oldSigs.join(newHashes,
+      oldSigs("url") === newHashes("url") &&
+        oldSigs("content_hash") === newHashes("ch"), "left_semi")
+
+    // dirty = added or content-changed rows of the new snapshot
+    val oldKeys = oldSigs.select(col("url").as("u"), col("content_hash").as("ch"))
+    val dirtyPages = pagesSrc.join(oldKeys,
+      pagesSrc("url") === oldKeys("u") &&
+        md5(pagesSrc("text")) === oldKeys("ch"), "left_anti")
+
+    // re-sign only the dirty rows; shift their doc_ids above the old range
+    val maxOld = unchangedSigs.agg(coalesce(F.max("doc_id"), lit(0L))).head().getLong(0)
+    val deltaSigs = DedupStages.signatures(dirtyPages, cfg)
+      .withColumn("doc_id", col("doc_id") + lit(maxOld + 1L))
+    val sigs = unchangedSigs.unionByName(deltaSigs).cache()
+    val deltaIds = sigs.join(newHashes, Seq("url"), "left_semi")
+      .where(col("doc_id") > maxOld).select("doc_id")
+
+    // candidate regeneration only in buckets touching a dirty doc
+    val probeAll = DedupStages.probeTable(sigs, cfg)
+    val dirtyBuckets = probeAll.join(deltaIds, Seq("doc_id"), "left_semi")
+      .select("channel", "bucket_key").distinct()
+    val probeSub = probeAll.join(dirtyBuckets, Seq("channel", "bucket_key"), "left_semi")
+    val (deltaPairs, dropped) = DedupStages.candidatesFromProbes(probeSub, sigs, cfg)
+    val deltaVerified = DedupStages.verified(deltaPairs, sigs, cfg)
+
+    // carry over previous pairs whose BOTH endpoints are unchanged urls
+    val liveUrls = unchangedSigs.select(col("url"))
+    val carried = prev.verifiedPairs
+      .join(liveUrls.select(col("url").as("url_a")), Seq("url_a"), "left_semi")
+      .join(liveUrls.select(col("url").as("url_b")), Seq("url_b"), "left_semi")
+
+    val verifiedAll = carried.unionByName(deltaVerified)
+      .groupBy("url_a", "url_b")
+      .agg(flatten(collect_set(col("channels"))).as("chs"),
+        F.first("n_inter").as("n_inter"), F.first("n_union").as("n_union"),
+        F.first("n_min").as("n_min"), F.first("jaccard").as("jaccard"),
+        F.first("containment").as("containment"))
+      .withColumn("channels", array_distinct(sort_array(col("chs")))).drop("chs")
+      .select("url_a", "url_b", "channels", "n_inter", "n_union", "n_min",
+        "jaccard", "containment")
+
+    val clusters = DedupStages.clusters(verifiedAll)
+    val merged = DedupStages.mergedClusters(clusters, pagesSrc)
+    DedupPipeline.Result(sigs, deltaPairs, dropped, verifiedAll, clusters, merged)
+  }
+}

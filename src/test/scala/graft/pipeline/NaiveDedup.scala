@@ -18,6 +18,7 @@ object NaiveDedup {
   }
 
   final case class Params(shingleSize: Int = 3, threshold: Double = 0.7,
+                          containment: Double = 0.9,
                           requireSameLang: Boolean = false,
                           crossSourceOnly: Boolean = false)
 
@@ -32,7 +33,8 @@ object NaiveDedup {
       if (gateOk && sa.nonEmpty && sb.nonEmpty) {
         val inter = (sa & sb).size
         val jac = inter.toDouble / (sa.size + sb.size - inter)
-        if (jac >= p.threshold) {
+        val cont = inter.toDouble / math.min(sa.size, sb.size)
+        if (jac >= p.threshold || cont >= p.containment) {
           val (u, v) = if (a.url < b.url) (a.url, b.url) else (b.url, a.url)
           out += ((u, v))
         }

@@ -69,15 +69,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(sameHostPairs.subsetOf(ungated))
   }
 
-  test("planted classes: exact+near+chain all clustered; negatives and hot-band not") {
+  test("planted classes: exact+near+chain+substr all clustered; negatives not; hot-band one cluster") {
     val r = DedupPipeline.run(spark, pagesDf, DedupConfig())
     val clusters = r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap
-    val must = corpus.duplicatePairs(Set("exact", "near", "chain"))
+    val must = corpus.duplicatePairs(Set("exact", "near", "chain", "substr"))
     val together = must.count { case (a, b) =>
       clusters.get(a).isDefined && clusters.get(a) == clusters.get(b)
     }
     assert(together == must.size,
-      s"all exact/near/chain pairs must co-cluster ($together/${must.size})")
+      s"all exact/near/chain/substr pairs must co-cluster ($together/${must.size})")
     // negative-near pairs must not co-cluster
     val neg = corpus.duplicatePairs(Set("negative"))
     neg.foreach { case (a, b) =>
