@@ -28,6 +28,22 @@ object Profile {
       println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($r)")
     }
 
+    // plan review mode: dump formatted physical plans of the key stages
+    // over a real parquet input (pushdown/pruning visible only there)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-explain").toString
+      SyntheticPages.generate(spark, 1000).write.mode("overwrite").parquet(dir)
+      val pagesP = spark.read.parquet(dir)
+      println("=== signatures over parquet (expect ReadSchema without html) ===")
+      DedupStages.signatures(pagesP, cfg).explain("formatted")
+      val sigsP = DedupStages.signatures(pagesP, cfg)
+      println("=== candidates (expect one exchange per groupBy, partial counts) ===")
+      DedupStages.candidates(sigsP, cfg)._1.explain("formatted")
+      println("=== verified (expect two shuffled hash joins on ids) ===")
+      DedupStages.verified(DedupStages.candidates(sigsP, cfg)._1, sigsP, cfg).explain("formatted")
+      spark.stop(); return
+    }
+
     val pages = SyntheticPages.generate(spark, n)
     t("warm-gen-count") { pages.count() }
     val sigs = DedupStages.signatures(pages, cfg).cache()

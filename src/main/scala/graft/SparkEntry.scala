@@ -245,6 +245,49 @@ object SparkEntry {
         col("cluster_id"), col("size"), col("members"),
         col("rep_url"), col("langs"), col("sources"))),
 
+    // ------------------------- projection/set-op/window extras (SURVEY §2)
+    // export sampling: every Nth record in stream order
+    // (classes/RecordManager.php:331-333)
+    "q_export_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+        .where(col("rn") % 7 === 0).select("doc_id", "source")
+    }),
+
+    // value mapping with ##default (classes/SolrUpdater.php:990-1014)
+    "q_value_map" -> ((s, dir) => {
+      val m = typedLit(Map("en" -> "eng", "de" -> "ger", "fr" -> "fre"))
+      docs(s, dir).select(col("doc_id"),
+        coalesce(element_at(m, col("lang")), lit("other")).as("lang_mapped"))
+    }),
+
+    // allfields synthesis: distinct sorted tokens re-joined
+    // (classes/MarcRecord.php:1917-1948; classes/SolrUpdater.php:1078-1091)
+    "q_allfields" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+          .as("allfields"))),
+
+    // case-insensitive first-wins unique (MetadataUtils::array_iunique,
+    // classes/MetadataUtils.php:288-298)
+    "q_iunique" -> ((s, dir) => {
+      val arr = array(col("lang"), upper(col("lang")), col("source"), upper(col("source")))
+      docs(s, dir).select(col("doc_id"),
+        filter(arr, (x, i) =>
+          !exists(slice(arr, lit(1), i), y => lower(y) === lower(x))).as("iunique"))
+    }),
+
+    // from/until window + pagination (classes/OaiPmhProvider.php:218-261)
+    "q_until_window" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("ts").cast("timestamp").between(
+          lit("2024-01-02 00:00:00").cast("timestamp"),
+          lit("2024-06-01 00:00:00").cast("timestamp")))
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), col("event_type"))
+        .limit(25)),
+
     // --------------------------------------------- similarity search (ANN)
     "q_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(embeddings(s, dir))),
@@ -400,6 +443,27 @@ object SparkEntry {
          |  list_sort(list(DISTINCT lang)) AS langs,
          |  list_sort(list(DISTINCT source)) AS sources
          |FROM m GROUP BY cluster_id""".stripMargin,
+
+    "q_export_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (ORDER BY doc_id) AS rn FROM documents)
+        |WHERE rn % 7 = 0""".stripMargin,
+
+    "q_value_map" ->
+      """SELECT doc_id, CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'ger'
+        |  WHEN 'fr' THEN 'fre' ELSE 'other' END AS lang_mapped FROM documents""".stripMargin,
+
+    "q_allfields" ->
+      """SELECT doc_id, array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+        |  AS allfields FROM documents""".stripMargin,
+
+    "q_iunique" ->
+      "SELECT doc_id, [lang, source] AS iunique FROM documents",
+
+    "q_until_window" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-06-01 00:00:00'
+        |ORDER BY ts, event_id LIMIT 25""".stripMargin,
 
     "q_embedding_dims" ->
       "SELECT vec_id, len(embedding) AS dim, label FROM embeddings"
