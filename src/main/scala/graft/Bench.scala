@@ -72,7 +72,7 @@ object Bench {
     // distributed deterministic corpus big enough that compute (MinHash,
     // band joins, verify) dominates fixed stage-scheduling overhead —
     // the sandbox substitute for N vs 4N executors (BASELINE.md).
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "400000").toLong
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "800000").toLong
     // stage the corpus as a real on-disk table once (both parallelism
     // levels then read identical input files, like an Iceberg snapshot)
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-bench-pages").toString

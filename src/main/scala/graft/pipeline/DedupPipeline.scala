@@ -330,9 +330,11 @@ object DedupStages {
   // ---------------------------------------------------------------- verify
 
   /** Stage 3 — verification (the `matchRecords` analog,
-    * classes/RecordManager.php:1482-1623): exact Jaccard over distinct
-    * shingle sets with hard gates. Exact-channel pairs are identical text
-    * (J = 1) and skip the set arithmetic. */
+    * classes/RecordManager.php:1482-1623): exact Jaccard AND containment
+    * over distinct shingle sets, accepted when either clears its
+    * threshold, with the reference's hard gates (lang ≡ format,
+    * cross-source) as config. Also translates candidate doc_ids back to
+    * urls (the only place that pays string width). */
   def verified(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val side = sigs.select(col("doc_id").as("jid"), col("url"), col("source"),
       col("lang"), col("shingles"), col("n_shingles"), col("content_hash"))
