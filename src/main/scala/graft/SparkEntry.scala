@@ -76,7 +76,8 @@ object SparkEntry {
        |jp AS (SELECT a.url AS url_a, b.url AS url_b,
        |  len(list_intersect(a.s, b.s)) AS i,
        |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u,
-       |  least(len(a.s), len(b.s)) AS mn
+       |  least(len(a.s), len(b.s)) AS mn,
+       |  a.lang = b.lang AS same_lang, a.source <> b.source AS cross_src
        |  FROM sh a JOIN sh b ON a.url < b.url)""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -239,6 +240,16 @@ object SparkEntry {
 
     "q_clusters" -> ((s, dir) =>
       pipe(s, dir).clusters.select("url", "cluster_id")),
+
+    // reference-gated verification: lang equality (format gate,
+    // classes/RecordManager.php:1489-1497) + cross-source only
+    // (classes/RecordManager.php:1346)
+    "q_near_dup_gated" -> ((s, dir) => {
+      val gated = cfg.copy(requireSameLang = true, crossSourceOnly = true)
+      DedupStages.verified(pipe(s, dir).candidatePairs, pipe(s, dir).signatures, gated)
+        .select(col("url_a"), col("url_b"),
+          floor(col("jaccard") * 1000).cast("long").as("jac_permille"))
+    }),
 
     "q_merged_clusters" -> ((s, dir) =>
       pipe(s, dir).merged.select(
@@ -417,6 +428,13 @@ object SparkEntry {
          |SELECT url_a, url_b, CAST(floor((i * 1.0 / u) * 1000) AS BIGINT) AS jac_permille
          |FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}
          |   OR i * 1.0 / mn >= ${cfg.containmentThreshold}""".stripMargin,
+
+    "q_near_dup_gated" ->
+      s"""WITH $shingleCte
+         |SELECT url_a, url_b, CAST(floor((i * 1.0 / u) * 1000) AS BIGINT) AS jac_permille
+         |FROM jp WHERE (i * 1.0 / u >= ${cfg.jaccardThreshold}
+         |   OR i * 1.0 / mn >= ${cfg.containmentThreshold})
+         |  AND same_lang AND cross_src""".stripMargin,
 
     "q_clusters" ->
       s"""WITH RECURSIVE $shingleCte,

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.fixtures.SyntheticPages
+
+/**
+ * Physical-plan discipline (the "would this survive 100×" checks):
+ * column pruning reaches the parquet scan, no cartesian products sneak
+ * into candidate generation, exact-dup grouping avoids O(m²) expansion.
+ */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val cfg = DedupConfig()
+
+  private lazy val parquetPages = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    SyntheticPages.generate(spark, 200).write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("signature scan prunes the html payload column") {
+    val plan = DedupStages.signatures(parquetPages, cfg)
+      .queryExecution.executedPlan.toString()
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(rs => assert(!rs.contains("html"), s"html not pruned: $rs"))
+  }
+
+  test("candidate generation plans no cartesian product or nested loop join") {
+    val sigs = DedupStages.signatures(parquetPages, cfg)
+    val (pairs, _) = DedupStages.candidates(sigs, cfg)
+    val plan = pairs.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), "cartesian product in candidate plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop join in candidate plan")
+  }
+
+  test("exact channel emits a star, not O(m^2) pairs") {
+    import spark.implicits._
+    // 50 identical docs -> 49 star edges
+    val pages = (0 until 50)
+      .map(i => (s"https://h$i.example.com/$i", "same text body for every page here", "en", s"h$i"))
+      .toDF("url", "text", "lang", "source")
+    val sigs = DedupStages.signatures(pages, cfg)
+    assert(DedupStages.exactCandidates(sigs).count() == 49)
+  }
+}
