@@ -299,6 +299,22 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"))
         .limit(25)),
 
+    // reference Levenshtein verification (classes/RecordManager.php:
+    // 1583-1590: lev over first 255 units / length of the FIRST side *
+    // 100, reject >= 10) applied on top of the verified near-dup pairs
+    "q_lev_pairs" -> ((s, dir) => {
+      val nrm = pages(s, dir).select(col("url"),
+        normalizeText(col("text")).as("nrm"))
+      val lev = levenshtein(
+        substring(col("nrm_a"), 1, 255), substring(col("nrm_b"), 1, 255))
+      pipe(s, dir).verifiedPairs
+        .join(nrm.select(col("url").as("url_a"), col("nrm").as("nrm_a")), "url_a")
+        .join(nrm.select(col("url").as("url_b"), col("nrm").as("nrm_b")), "url_b")
+        .withColumn("lev_pct", floor(lev * lit(100.0) / length(col("nrm_a"))))
+        .where(lev * lit(100.0) / length(col("nrm_a")) < 10)
+        .select(col("url_a"), col("url_b"), col("lev_pct").cast("long").as("lev_pct"))
+    }),
+
     // --------------------------------------------- similarity search (ANN)
     "q_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(embeddings(s, dir))),
@@ -482,6 +498,15 @@ object SparkEntry {
       """SELECT event_id, event_type FROM events
         |WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-06-01 00:00:00'
         |ORDER BY ts, event_id LIMIT 25""".stripMargin,
+
+    "q_lev_pairs" ->
+      s"""WITH $shingleCte,
+         |nd AS (SELECT url, ${normSql.format("text")} AS nrm FROM d)
+         |SELECT jp.url_a, jp.url_b,
+         |  CAST(floor(levenshtein(substr(a.nrm, 1, 255), substr(b.nrm, 1, 255)) * 100.0 / length(a.nrm)) AS BIGINT) AS lev_pct
+         |FROM jp JOIN nd a ON jp.url_a = a.url JOIN nd b ON jp.url_b = b.url
+         |WHERE (i * 1.0 / u >= ${cfg.jaccardThreshold} OR i * 1.0 / mn >= ${cfg.containmentThreshold})
+         |  AND levenshtein(substr(a.nrm, 1, 255), substr(b.nrm, 1, 255)) * 100.0 / length(a.nrm) < 10""".stripMargin,
 
     "q_embedding_dims" ->
       "SELECT vec_id, len(embedding) AS dim, label FROM embeddings"
