@@ -195,17 +195,19 @@ object SparkEntry {
     }),
 
     "q_signatures" -> ((s, dir) =>
-      pipe(s, dir).signatures.select(
+      DedupStages.signatures(pages(s, dir), cfg).select(
         col("url"), col("content_hash"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("n_shingles").cast("long").as("n_shingles"),
         col("simhash"))),
 
     "q_minhash_sig" -> ((s, dir) =>
-      pipe(s, dir).signatures.select(col("url"), col("minhash"))),
+      // full-array signature view (the pipeline itself stores lean rows
+      // and fuses the arrays into probe generation)
+      DedupStages.signatures(pages(s, dir), cfg).select(col("url"), col("minhash"))),
 
     "q_lsh_bands" -> ((s, dir) => {
-      val sigs = pipe(s, dir).signatures
+      val sigs = DedupStages.signatures(pages(s, dir), cfg).cache()
       DedupStages.lshBands(sigs, cfg)
         .join(sigs.select(col("doc_id"), col("url")), "doc_id")
         .select(col("url"), col("band_id").cast("long").as("band_id"), col("band_hash"))
@@ -224,7 +226,7 @@ object SparkEntry {
       pipe(s, dir).droppedBuckets.select("channel", "bucket_key", "bucket_n")),
 
     "q_simhash_pairs" -> ((s, dir) => {
-      val sigs = pipe(s, dir).signatures
+      val sigs = DedupStages.signatures(pages(s, dir), cfg).cache()
       val (pairs, _) = DedupStages.simhashCandidates(sigs, cfg)
       pairs
         .join(sigs.select(col("doc_id").as("id_a"), col("url").as("ua")), "id_a")
@@ -246,7 +248,9 @@ object SparkEntry {
     // (classes/RecordManager.php:1346)
     "q_near_dup_gated" -> ((s, dir) => {
       val gated = cfg.copy(requireSameLang = true, crossSourceOnly = true)
-      DedupStages.verified(pipe(s, dir).candidatePairs, pipe(s, dir).signatures, gated)
+      val side = pipe(s, dir).signatures.select("doc_id", "url", "source", "lang")
+        .join(pages(s, dir).select("url", "text"), Seq("url"))
+      DedupStages.verified(pipe(s, dir).candidatePairs, side, gated)
         .select(col("url_a"), col("url_b"),
           floor(col("jaccard") * 1000).cast("long").as("jac_permille"))
     }),

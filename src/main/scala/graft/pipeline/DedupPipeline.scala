@@ -95,6 +95,12 @@ object DedupStages {
     if (pages.columns.contains("source")) pages
     else pages.withColumn("source", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
 
+  /** Attach the compact dictionary id. MUST be cached or checkpointed
+    * before fan-out — monotonically_increasing_id is stable only for a
+    * fixed materialization. */
+  def withIds(pages: DataFrame): DataFrame =
+    withSource(pages).withColumn("doc_id", monotonically_increasing_id())
+
   // ----------------------------------------------------------- signatures
 
   /** Stage 1 — per-document signatures, all in one scan-side projection
@@ -141,6 +147,57 @@ object DedupStages {
         col("anchors"),
         minhashSignature(col("shingles"), cfg.minhashK, cfg.seed).as("minhash"),
         col("simhash"))
+  }
+
+  /** LEAN per-document signature row — what the pipeline actually STORES
+    * per doc at scale: fixed-width columns only. The k=128 MinHash and the
+    * shingle/anchor arrays are ~2.5 KB/doc; materializing them (cache or
+    * table) made the signature stage memory-bandwidth-bound and
+    * ANTI-scaling on wide hosts. They are consumed exactly once each, so
+    * `probeRows` recomputes them in the same scan that explodes them, and
+    * the verify stage recomputes shingle sets only for the ~0.1% of docs
+    * that appear in a candidate pair. */
+  def leanSignatures(pw: DataFrame, cfg: DedupConfig): DataFrame =
+    pw.select(
+      col("doc_id"), col("url"), col("source"), col("lang"),
+      md5(col("text")).as("content_hash"),
+      size(split(col("text"), " ")).as("n_tokens"))
+
+  /** Fused probe-row generation: ONE scan over (doc_id, text) computes
+    * token hashes → shingles → MinHash → band hashes, SimHash chunks and
+    * winnowed anchors, and explodes them as a single
+    * (channel, bucket_key, doc_id, tag) generator — no intermediate
+    * signature arrays ever hit memory or disk. Bucket keys match
+    * `probeTable` bit-for-bit (same xxhash64 packing). */
+  def probeRows(pw: DataFrame, cfg: DedupConfig): DataFrame = {
+    val toks = TextColumns.tokenHashes(col("text"))
+    val base = pw.select(col("doc_id"),
+      TextColumns.shingleHashes(toks, cfg.shingleSize).as("sa"),
+      array_distinct(graft.functions.winnow.winnowAnchors(
+        TextColumns.shingleHashes(toks, cfg.substrWindow), cfg.winnowWindow)).as("anchors"))
+      .select(col("doc_id"), col("anchors"),
+        array_distinct(col("sa")).as("sh"),
+        simhash64(col("sa")).as("sim"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("anchors"), col("sim"),
+        lshBandHashes(minhashSignature(col("sh"), cfg.minhashK, cfg.seed),
+          cfg.bands, cfg.rowsPerBand).as("bands"))
+    val bandProbes = transform(col("bands"), (h, i) =>
+      struct(lit("minhash_lsh").as("channel"),
+        xxhash64(lit(0), i, h).as("bucket_key"), lit(0L).as("tag")))
+    val simProbes = array((0 until 4).map(i =>
+      struct(lit("simhash").as("channel"),
+        xxhash64(lit(1), lit(i),
+          shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))).as("bucket_key"),
+        col("sim").as("tag"))): _*)
+    val anchorProbes = transform(col("anchors"), a =>
+      struct(lit("substring").as("channel"),
+        xxhash64(lit(2), a).as("bucket_key"), lit(0L).as("tag")))
+    base
+      .select(col("doc_id"),
+        explode(concat(bandProbes, simProbes, anchorProbes)).as("p"))
+      .select(col("p.channel").as("channel"), col("p.bucket_key").as("bucket_key"),
+        col("doc_id"), col("p.tag").as("tag"))
   }
 
   // ------------------------------------------------------------ channels
@@ -336,8 +393,16 @@ object DedupStages {
     * cross-source) as config. Also translates candidate doc_ids back to
     * urls (the only place that pays string width). */
   def verified(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val side = sigs.select(col("doc_id").as("jid"), col("url"), col("source"),
-      col("lang"), col("shingles"), col("n_shingles"), col("content_hash"))
+    // side rows need shingle sets; a lean side (no `shingles` column but
+    // `text`) computes them here — only pair participants pay the cost
+    val withShingles =
+      if (sigs.columns.contains("shingles")) sigs
+      else {
+        val sh = TextColumns.shingleSet(col("text"), cfg.shingleSize)
+        sigs.withColumn("shingles", sh).withColumn("n_shingles", size(col("shingles")))
+      }
+    val side = withShingles.select(col("doc_id").as("jid"), col("url"), col("source"),
+      col("lang"), col("shingles"), col("n_shingles"))
     val a = side.toDF(side.columns.map(_ + "_a"): _*)
     val b = side.toDF(side.columns.map(_ + "_b"): _*)
     var joined = pairs
@@ -414,29 +479,39 @@ object DedupPipeline {
     val ch = cfg.configHash
     val fp = checkpointRoot.map(_ => inputFingerprint(pages)).getOrElse("nofp")
 
-    val sigs = TableIO.stage(spark, checkpointRoot, "signatures", ch, fp) {
-      DedupStages.signatures(pages, cfg)
+    // pages + dictionary ids, pinned (cache or table) so doc_ids are
+    // stable across the fan-out
+    val pw0 = TableIO.stage(spark, checkpointRoot, "pages_ids", ch, fp) {
+      DedupStages.withIds(pages)
     }
-    // pair generation consumes the signature table twice (bands + verify);
-    // cache when not checkpoint-backed
-    val sigsC = if (checkpointRoot.isEmpty) sigs.cache() else sigs
+    val pw = if (checkpointRoot.isEmpty) pw0.cache() else pw0
 
-    val (cand, dropped) = DedupStages.candidates(sigsC, cfg)
+    // LEAN signature table: fixed-width columns only (see leanSignatures)
+    val sigs0 = TableIO.stage(spark, checkpointRoot, "signatures", ch, fp) {
+      DedupStages.leanSignatures(pw, cfg)
+    }
+    val sigs = if (checkpointRoot.isEmpty) sigs0.cache() else sigs0
+
+    // probe rows are recomputed in one fused scan, never stored
+    val (cand, dropped) = DedupStages.candidatesFromProbes(
+      DedupStages.probeRows(pw, cfg), sigs, cfg)
     val candC = TableIO.stage(spark, checkpointRoot, "candidate_pairs", ch, fp)(cand)
     val droppedC = TableIO.stage(spark, checkpointRoot, "dropped_buckets", ch, fp)(dropped)
 
+    // verify joins the pair participants back to text and recomputes
+    // their shingle sets inline
+    val verSide = sigs.select("doc_id", "url", "source", "lang")
+      .join(pw.select("doc_id", "text"), "doc_id")
     val ver0 = TableIO.stage(spark, checkpointRoot, "verified_pairs", ch, fp) {
-      DedupStages.verified(candC, sigsC, cfg)
+      DedupStages.verified(candC, verSide, cfg)
     }
-    // verified feeds both CC (eager) and downstream reads; cache when not
-    // already checkpoint-backed
     val ver = if (checkpointRoot.isEmpty) ver0.cache() else ver0
     val clu = TableIO.stage(spark, checkpointRoot, "clusters", ch, fp) {
       DedupStages.clusters(ver)
     }
     val merged = TableIO.stage(spark, checkpointRoot, "merged_clusters", ch, fp) {
-      DedupStages.mergedClusters(clu, pages)
+      DedupStages.mergedClusters(clu, pw)
     }
-    Result(sigsC, candC, droppedC, ver, clu, merged)
+    Result(sigs, candC, droppedC, ver, clu, merged)
   }
 }

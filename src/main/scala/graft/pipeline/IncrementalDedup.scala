@@ -48,21 +48,25 @@ object IncrementalDedup {
       pagesSrc("url") === oldKeys("u") &&
         md5(pagesSrc("text")) === oldKeys("ch"), "left_anti")
 
-    // re-sign only the dirty rows; shift their doc_ids above the old range
+    // re-sign only the dirty rows (lean rows; see leanSignatures); shift
+    // their doc_ids above the old range
     val maxOld = unchangedSigs.agg(coalesce(F.max("doc_id"), lit(0L))).head().getLong(0)
-    val deltaSigs = DedupStages.signatures(dirtyPages, cfg)
+    val deltaSigs = DedupStages.leanSignatures(DedupStages.withIds(dirtyPages), cfg)
       .withColumn("doc_id", col("doc_id") + lit(maxOld + 1L))
     val sigs = unchangedSigs.unionByName(deltaSigs).cache()
-    val deltaIds = sigs.join(newHashes, Seq("url"), "left_semi")
-      .where(col("doc_id") > maxOld).select("doc_id")
+    val deltaIds = sigs.where(col("doc_id") > maxOld).select("doc_id")
+
+    // id -> text side for fused probe generation and verify
+    val pw = sigs.select("doc_id", "url", "source", "lang")
+      .join(pagesSrc.select("url", "text"), Seq("url")).cache()
 
     // candidate regeneration only in buckets touching a dirty doc
-    val probeAll = DedupStages.probeTable(sigs, cfg)
+    val probeAll = DedupStages.probeRows(pw, cfg)
     val dirtyBuckets = probeAll.join(deltaIds, Seq("doc_id"), "left_semi")
       .select("channel", "bucket_key").distinct()
     val probeSub = probeAll.join(dirtyBuckets, Seq("channel", "bucket_key"), "left_semi")
     val (deltaPairs, dropped) = DedupStages.candidatesFromProbes(probeSub, sigs, cfg)
-    val deltaVerified = DedupStages.verified(deltaPairs, sigs, cfg)
+    val deltaVerified = DedupStages.verified(deltaPairs, pw, cfg)
 
     // carry over previous pairs whose BOTH endpoints are unchanged urls
     val liveUrls = unchangedSigs.select(col("url"))
