@@ -95,11 +95,15 @@ object DedupStages {
     if (pages.columns.contains("source")) pages
     else pages.withColumn("source", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
 
-  /** Attach the compact dictionary id. MUST be cached or checkpointed
-    * before fan-out — monotonically_increasing_id is stable only for a
-    * fixed materialization. */
+  /** Attach the compact dictionary id and project to the columns the
+    * pipeline consumes (html in particular is NEVER read downstream — a
+    * raw-payload column has no business in the pinned working set). MUST
+    * be cached or checkpointed before fan-out — monotonically_increasing_id
+    * is stable only for a fixed materialization. */
   def withIds(pages: DataFrame): DataFrame =
-    withSource(pages).withColumn("doc_id", monotonically_increasing_id())
+    withSource(pages)
+      .withColumn("doc_id", monotonically_increasing_id())
+      .select("doc_id", "url", "source", "lang", "text")
 
   // ----------------------------------------------------------- signatures
 
