@@ -46,19 +46,19 @@ object Profile {
 
     val pages = SyntheticPages.generate(spark, n)
     t("warm-gen-count") { pages.count() }
-    val sigs = DedupStages.signatures(pages, cfg).cache()
-    t("signatures") { sigs.count() }
-    val bands = DedupStages.lshBands(sigs, cfg)
-    t("lsh_bands") { bands.count() }
-    val (lsh, lshDrop) = DedupStages.lshCandidates(sigs, cfg)
-    t("lsh_candidates") { lsh.count() }
-    val (sim, _) = DedupStages.simhashCandidates(sigs, cfg)
-    t("simhash_candidates") { sim.count() }
-    t("exact_candidates") { DedupStages.exactCandidates(sigs).count() }
-    val (cand, _) = DedupStages.candidates(sigs, cfg)
+    // lean path — what DedupPipeline.run actually executes
+    val pw = DedupStages.withIds(pages).cache()
+    t("pages_ids") { pw.count() }
+    val sigs = DedupStages.leanSignatures(pw, cfg).cache()
+    t("lean_signatures") { sigs.count() }
+    t("probe_rows") { DedupStages.probeRows(pw, cfg).count() }
+    val (cand, _) = DedupStages.candidatesFromProbes(
+      DedupStages.probeRows(pw, cfg), sigs, cfg)
     val candC = cand.cache()
-    t("candidates_union") { candC.count() }
-    val ver = DedupStages.verified(candC, sigs, cfg).cache()
+    t("candidates") { candC.count() }
+    val verSide = sigs.select("doc_id", "url", "source", "lang")
+      .join(pw.select("doc_id", "text"), "doc_id")
+    val ver = DedupStages.verified(candC, verSide, cfg).cache()
     t("verified") { ver.count() }
     t("cc_clusters") { DedupStages.clusters(ver).count() }
     t("full_pipeline_again") {
