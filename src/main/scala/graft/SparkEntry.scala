@@ -320,6 +320,12 @@ object SparkEntry {
     }),
 
     // --------------------------------------------- similarity search (ANN)
+    // embedding-cosine near-duplicate channel: SRP-LSH bucket join +
+    // exact cosine rerank at the near-dup threshold (the scale path —
+    // no cross join; bucket collisions are the candidate generator)
+    "q_embedding_dups" -> ((s, dir) =>
+      Similarity.cosineDupPairs(embeddings(s, dir), threshold = 0.95)),
+
     "q_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(embeddings(s, dir))),
 
@@ -511,6 +517,11 @@ object SparkEntry {
          |FROM jp JOIN nd a ON jp.url_a = a.url JOIN nd b ON jp.url_b = b.url
          |WHERE (i * 1.0 / u >= ${cfg.jaccardThreshold} OR i * 1.0 / mn >= ${cfg.containmentThreshold})
          |  AND levenshtein(substr(a.nrm, 1, 255), substr(b.nrm, 1, 255)) * 100.0 / length(a.nrm) < 10""".stripMargin,
+
+    "q_embedding_dups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin,
 
     "q_embedding_dims" ->
       "SELECT vec_id, len(embedding) AS dim, label FROM embeddings"

@@ -67,6 +67,21 @@ object Similarity {
       bits.reduce(_ + _).as("bucket"))
   }
 
+  /** Embedding near-duplicate pairs: SRP bucket join as the candidate
+    * generator (same blocking pattern as the text LSH channel), exact
+    * cosine >= threshold as the verifier. Canonical (id_a < id_b). */
+  def cosineDupPairs(emb: DataFrame, threshold: Double, nBits: Int = 8,
+                     seed: Long = 42L): DataFrame = {
+    val coded = srpBucket(emb, nBits, seed)
+    val a = coded.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = coded.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** ANN: exact rerank within SRP buckets only — candidate generation is
     * a bucket equi-join (shuffle on a small key) instead of a cross join.
     * Approximate by construction; recall grows with fewer bits / multi-probe. */
