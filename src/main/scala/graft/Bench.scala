@@ -72,7 +72,7 @@ object Bench {
     // distributed deterministic corpus big enough that compute (MinHash,
     // band joins, verify) dominates fixed stage-scheduling overhead —
     // the sandbox substitute for N vs 4N executors (BASELINE.md).
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1200000").toLong
     // stage the corpus as a real on-disk table once (both parallelism
     // levels then read identical input files, like an Iceberg snapshot)
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-bench-pages").toString
@@ -84,14 +84,15 @@ object Bench {
     // 4/16 pair is sized to fit beside that foreign load)
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
     val hi = lo * 4
+    // symmetric min-of-k at BOTH parallelism levels: an asymmetric filter
+    // (one sample low, min-of-3 high) systematically biases the efficiency
+    // ratio upward on a noisy host — same k on both sides keeps the
+    // estimator unbiased.
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     s = session(lo)
-    // the lo-level run is minutes long: intermittent host spikes average
-    // out within it, so one sample suffices (keeps bench wall bounded)
-    val tLo = runPipeline(s, pagesAt(s))
+    val tLo = Seq.fill(k)(runPipeline(s, pagesAt(s))).min
     s = session(hi)
-    // hi-level runs are short; a third sample sharpens the noise filter
-    val tHi = Seq(runPipeline(s, pagesAt(s)), runPipeline(s, pagesAt(s)),
-      runPipeline(s, pagesAt(s))).min
+    val tHi = Seq.fill(k)(runPipeline(s, pagesAt(s))).min
     val dLo = scaleN / tLo
     val dHi = scaleN / tHi
     val eff = (dHi / dLo) / 4.0
@@ -105,8 +106,13 @@ object Bench {
       "exact_candidates" -> tExact)
     val qJson = queries.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = queries.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":${f"${nDocs / tPipeline}%.1f"},"scale_n":$scaleN,"scaling":{"cores_n":$lo,"cores_4n":$hi,"docs_per_sec_n":${f"$dLo%.1f"},"docs_per_sec_4n":${f"$dHi%.1f"},"wall_s_n":${f"$tLo%.3f"},"wall_s_4n":${f"$tHi%.3f"},"efficiency_n_to_4n":${f"$eff%.3f"}}}""")
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":${f"${nDocs / tPipeline}%.1f"},"scale_n":$scaleN,"scaling":{"cores_n":$lo,"cores_4n":$hi,"min_of_k":$k,"docs_per_sec_n":${f"$dLo%.1f"},"docs_per_sec_4n":${f"$dHi%.1f"},"wall_s_n":${f"$tLo%.3f"},"wall_s_4n":${f"$tHi%.3f"},"efficiency_n_to_4n":${f"$eff%.3f"}}}"""
+    // stdout (unprefixed via run/outputStrategy := StdoutOutput) AND a
+    // file, so a log-wrapping harness can always recover the JSON
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
     s.stop()
   }
 }

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.normalization._
-import graft.ops.{Multimodal, Similarity, TextStats}
+import graft.ops.{Multimodal, ProjectionDsl, RecordOps, Similarity, TextStats}
 import graft.pipeline.{DedupConfig, DedupPipeline, DedupStages}
+import graft.text.Normalize
 
 /**
  * Driver contract (see SURVEY.md §5.5): every implemented operator from
@@ -24,6 +25,19 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+  /** Dup-bearing variant: the harness corpus has no exact duplicates, so
+    * the exact-channel oracles were vacuous (0 rows both sides). Union a
+    * deterministic mutated copy — every 50th doc re-keyed +100000 with
+    * IDENTICAL text — expressible identically in DuckDB SQL. (Reference
+    * immediate-match channel: classes/RecordManager.php:1500-1512.) */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "lang", "source")
+    d.unionByName(d.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"), col("source")))
+  }
+  private val dupDocsSql =
+    """dd AS (SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id % 50 = 0)""".stripMargin
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -39,8 +53,9 @@ object SparkEntry {
     pipelineCache.getOrElseUpdate((System.identityHashCode(s), dir), {
       val r = DedupPipeline.run(s, pages(s, dir), cfg)
       DedupPipeline.Result(
-        r.signatures.cache(), r.candidatePairs.cache(), r.droppedBuckets.cache(),
-        r.verifiedPairs.cache(), r.clusters.cache(), r.merged.cache())
+        r.signatures.cache(), r.probes, r.candidatePairs.cache(),
+        r.droppedBuckets.cache(), r.verifiedPairs.cache(), r.clusters.cache(),
+        r.merged.cache())
     })
 
   /** Flagship: the full dedup pipeline end-to-end on sf0.001 — returns
@@ -117,10 +132,13 @@ object SparkEntry {
         concat(lit("978"), isbn10, check.cast("string")).as("isbn13"))
     }),
 
+    // (array outputs are canonicalized to sorted joined strings across all
+    // queries: the driver's pandas row-sort cannot order ndarray cells)
     "q_hier_facet" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        array(concat(lit("0/"), col("source"), lit("/")),
-          concat(lit("1/"), col("source"), lit("/"), col("lang"), lit("/"))).as("facets"))),
+        array_join(array(concat(lit("0/"), col("source"), lit("/")),
+          concat(lit("1/"), col("source"), lit("/"), col("lang"), lit("/"))), "|")
+          .as("facets"))),
 
     // ----------------------------- filters / incremental (SURVEY §2.3, §2.9)
     "q_watermark" -> ((s, dir) =>
@@ -181,14 +199,16 @@ object SparkEntry {
 
     // -------------------------------------- dedup channels (SURVEY §2.4, §7.0)
     "q_exact_dup_pairs" -> ((s, dir) => {
-      val p = pages(s, dir).select(col("url"), md5(col("text")).as("h"))
+      val p = DedupStages.pagesFromDocuments(docsWithDups(s, dir))
+        .select(col("url"), md5(col("text")).as("h"))
       val a = p.select(col("url").as("url_a"), col("h"))
       val b = p.select(col("url").as("url_b"), col("h"))
       a.join(b, "h").where(col("url_a") < col("url_b")).select("url_a", "url_b")
     }),
 
     "q_exact_clusters" -> ((s, dir) => {
-      val p = pages(s, dir).select(col("url"), md5(col("text")).as("h"))
+      val p = DedupStages.pagesFromDocuments(docsWithDups(s, dir))
+        .select(col("url"), md5(col("text")).as("h"))
       val g = p.groupBy("h").agg(min("url").as("cluster_id"), count(lit(1)).as("c"))
         .where(col("c") > 1).drop("c")
       p.join(g, "h").select("url", "cluster_id")
@@ -203,8 +223,10 @@ object SparkEntry {
 
     "q_minhash_sig" -> ((s, dir) =>
       // full-array signature view (the pipeline itself stores lean rows
-      // and fuses the arrays into probe generation)
-      DedupStages.signatures(pages(s, dir), cfg).select(col("url"), col("minhash"))),
+      // and fuses the arrays into probe generation); string-joined for the
+      // driver's row-sort
+      DedupStages.signatures(pages(s, dir), cfg).select(col("url"),
+        array_join(transform(col("minhash"), _.cast("string")), ",").as("minhash"))),
 
     "q_lsh_bands" -> ((s, dir) => {
       val sigs = DedupStages.signatures(pages(s, dir), cfg).cache()
@@ -219,11 +241,24 @@ object SparkEntry {
         .join(sigs.select(col("doc_id").as("id_a"), col("url").as("ua")), "id_a")
         .join(sigs.select(col("doc_id").as("id_b"), col("url").as("ub")), "id_b")
         .select(least(col("ua"), col("ub")).as("url_a"),
-          greatest(col("ua"), col("ub")).as("url_b"), col("channels"))
+          greatest(col("ua"), col("ub")).as("url_b"),
+          array_join(col("channels"), ",").as("channels"))
     }),
 
     "q_dropped_buckets" -> ((s, dir) =>
       pipe(s, dir).droppedBuckets.select("channel", "bucket_key", "bucket_n")),
+
+    // per-stage lineage/metrics (north rule; reference analog
+    // classes/PerformanceCounter.php:40-97): a checkpointed run commits a
+    // stage_metrics table; the deterministic (stage, rows) totals are the
+    // queryable surface (wall_ms/partition rows live in the table)
+    "q_stage_metrics" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-metrics-q").toString
+      DedupPipeline.run(s, pages(s, dir), cfg, Some(root))
+      graft.io.TableIO.read(s, root, "stage_metrics")
+        .where(col("partition_id") === -1)
+        .select(col("stage"), col("rows"))
+    }),
 
     "q_simhash_pairs" -> ((s, dir) => {
       val sigs = DedupStages.signatures(pages(s, dir), cfg).cache()
@@ -257,8 +292,11 @@ object SparkEntry {
 
     "q_merged_clusters" -> ((s, dir) =>
       pipe(s, dir).merged.select(
-        col("cluster_id"), col("size"), col("members"),
-        col("rep_url"), col("langs"), col("sources"))),
+        col("cluster_id"), col("size"),
+        array_join(col("members"), ",").as("members"),
+        col("rep_url"), col("first_lang"),
+        array_join(col("langs"), ",").as("langs"),
+        array_join(col("sources"), ",").as("sources"))),
 
     // ------------------------- projection/set-op/window extras (SURVEY §2)
     // export sampling: every Nth record in stream order
@@ -289,8 +327,8 @@ object SparkEntry {
     "q_iunique" -> ((s, dir) => {
       val arr = array(col("lang"), upper(col("lang")), col("source"), upper(col("source")))
       docs(s, dir).select(col("doc_id"),
-        filter(arr, (x, i) =>
-          !exists(slice(arr, lit(1), i), y => lower(y) === lower(x))).as("iunique"))
+        array_join(filter(arr, (x, i) =>
+          !exists(slice(arr, lit(1), i), y => lower(y) === lower(x))), ",").as("iunique"))
     }),
 
     // from/until window + pagination (classes/OaiPmhProvider.php:218-261)
@@ -320,11 +358,22 @@ object SparkEntry {
     }),
 
     // --------------------------------------------- similarity search (ANN)
-    // embedding-cosine near-duplicate channel: SRP-LSH bucket join +
-    // exact cosine rerank at the near-dup threshold (the scale path —
-    // no cross join; bucket collisions are the candidate generator)
-    "q_embedding_dups" -> ((s, dir) =>
-      Similarity.cosineDupPairs(embeddings(s, dir), threshold = 0.95)),
+    // embedding-cosine near-duplicate channel: multi-band SRP bucket join
+    // + exact cosine rerank at the near-dup threshold (the scale path —
+    // no cross join; OR-of-bands collisions are the candidate generator).
+    // Input is the dup-bearing union (exact copies at +100000, positively
+    // scaled copies at +200000 — cos = 1 collides in every band, so the
+    // generator's recall on them is exactly 1 and the exact DuckDB
+    // all-pairs oracle is matched non-vacuously).
+    "q_embedding_dups" -> ((s, dir) => {
+      val e = embeddings(s, dir).select("vec_id", "embedding")
+      val exact = e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val scaled = e.where(col("vec_id") % 70 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Similarity.cosineDupPairs(e.unionByName(exact).unionByName(scaled), threshold = 0.95)
+    }),
 
     "q_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(embeddings(s, dir))),
@@ -341,7 +390,115 @@ object SparkEntry {
       TextStats.langId(docs(s, dir))),
 
     "q_fingerprints" -> ((s, dir) =>
-      TextStats.fingerprints(docs(s, dir)))
+      TextStats.fingerprints(docs(s, dir))),
+
+    // ------------------------------------ reference scalar suite (§2.8)
+    // stripLeadingArticle (classes/MetadataUtils.php:266-278): first
+    // case-insensitive article prefix stripped, first match wins. The
+    // expression chain mirrors Normalize.stripLeadingArticle (unit-tested
+    // for parity) — codegen'd whens, no UDF.
+    "q_strip_article" -> ((s, dir) => {
+      val title = concat(
+        when(col("doc_id") % 3 === 0, "The ")
+          .when(col("doc_id") % 3 === 1, "an ").otherwise(lit("")), col("text"))
+      val t = col("title")
+      val stripped = Normalize.defaultArticles.foldRight(t) { (art, els) =>
+        when(lower(substring(t, 1, art.length)) === art.toLowerCase,
+          t.substr(lit(art.length + 1), length(t))).otherwise(els)
+      }
+      docs(s, dir).withColumn("title", title)
+        .select(col("doc_id"), stripped.as("stripped"))
+    }),
+
+    // validateISO8601Date (classes/MetadataUtils.php:323-336): strict
+    // shape AND real calendar datetime
+    "q_iso_dates" -> ((s, dir) => {
+      val ds = when(col("doc_id") % 4 === 0,
+          concat(lit("2024-01-"), lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            lit("T10:30:00Z")))
+        .when(col("doc_id") % 4 === 1, lit("2024-02-30T10:00:00Z"))
+        .when(col("doc_id") % 4 === 2, lit("2024/01/15"))
+        .otherwise(lit("2023-02-29T00:00:00Z"))
+      docs(s, dir).select(col("doc_id"), ds.as("date_str"),
+        (ds.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$") &&
+          try_to_timestamp(ds, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).isNotNull).as("valid"))
+    }),
+
+    // convertDateRange (classes/MetadataUtils.php:345-363): "start,end" →
+    // clamped floor-days-since-epoch pair
+    "q_date_range" -> ((s, dir) => {
+      val r = concat(lit("2024-01-"), lpad(((col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+        lit(",2024-03-"), lpad(((col("doc_id") % 30) + 1).cast("string"), 2, "0"))
+      val start = datediff(to_date(split(r, ",").getItem(0)), lit("1970-01-01").cast("date"))
+      val end = datediff(to_date(split(r, ",").getItem(1)), lit("1970-01-01").cast("date"))
+      docs(s, dir).select(col("doc_id"),
+        concat(greatest(start, lit(-4371587)).cast("string"), lit(" "),
+          least(end, lit(2932896)).cast("string")).as("range_days"))
+    }),
+
+    // trimXMLWhitespace (classes/MetadataUtils.php:372-375): whitespace
+    // between tags stripped, data whitespace preserved (reference PCRE
+    // with backreference — full fidelity unit-tested; the oracle input has
+    // no data-edge whitespace so the RE2-expressible form coincides)
+    "q_trim_xml" -> ((s, dir) => {
+      val xml = concat(lit("<r> <a>"), col("source"), lit("</a>  <b>"),
+        col("lang"), lit("</b> </r>"))
+      docs(s, dir).select(col("doc_id"),
+        regexp_replace(xml, "\\s*(<([^>]*)>[^<]*</\\2>|<[^>]*>)\\s*", "$1").as("trimmed"))
+    }),
+
+    // ucFirst (classes/MetadataUtils.php:431-440)
+    "q_ucfirst" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        concat(upper(substring(col("source"), 1, 1)),
+          col("source").substr(lit(2), length(col("source")))).as("ucfirst"))),
+
+    // authorMatch (classes/MetadataUtils.php:163-194): byte-semantic
+    // prefix/wordwise match — the pure JVM contract wrapped as a UDF for
+    // the query surface (the function itself is unit-tested byte-level)
+    "q_author_match" -> ((s, dir) => {
+      val am = udf((a: String, b: String) => Normalize.authorMatch(a, b))
+      val a1 = concat(col("source"), lit(" "), col("lang"))
+      val m5 = col("doc_id") % 5
+      val a2 = when(m5 === 0, a1)
+        .when(m5 === 1, concat(col("source"), lit(" "), substring(col("lang"), 1, 1), lit("q")))
+        .when(m5 === 2, concat(lit("q"), a1))
+        .when(m5 === 3, concat(col("source"), lit(" q"), col("lang")))
+        .otherwise(substring(col("lang"), 1, 2))
+      docs(s, dir).select(col("doc_id"), am(a1, a2).as("matched"))
+    }),
+
+    // ----------------------------- record plumbing operators (§2.2, §2.3)
+    // record-splitting transform: 1 doc → N 20-token child records
+    // (classes/RecordManager.php:993-1024)
+    "q_record_split" -> ((s, dir) =>
+      RecordOps.splitRecords(docs(s, dir)).select(col("doc_id"),
+        col("child_id").cast("long").as("child_id"), col("chunk"))),
+
+    // record-check ingestion gate (reject with reason before store entry)
+    "q_record_check" -> ((s, dir) =>
+      RecordOps.recordCheck(pages(s, dir), Seq("en", "de", "fr"))),
+
+    // empty-value scrub keeping '0' (classes/SolrUpdater.php:1164-1170)
+    "q_empty_scrub" -> ((s, dir) => {
+      val arr = array(col("lang"), lit(""), lit("0"), col("source"),
+        lit(null).cast("string"))
+      docs(s, dir).select(col("doc_id"),
+        array_join(RecordOps.scrubEmpty(arr), ",").as("scrubbed"))
+    }),
+
+    // export XPath filter (classes/RecordManager.php:336-345) via Spark's
+    // native xpath_boolean over the html payload
+    "q_xpath_filter" -> ((s, dir) =>
+      RecordOps.xpathFilter(pages(s, dir), """contains(//body, "dup")""")
+        .select(col("url"))),
+
+    // config-driven projection DSL (.properties-style field mapping spec
+    // → Catalyst columns; classes/MappableMarcRecord.php:5-18,52-120)
+    "q_projection_dsl" -> ((s, dir) =>
+      ProjectionDsl.project(pages(s, dir),
+        "u=url; host=url:host; norm=text:normalize; lang_u=lang:upper; " +
+          "text_len=text:len; first40=text:substr:40"))
   )
 
   // ---------------------------------------------------------------------
@@ -388,7 +545,7 @@ object SparkEntry {
         |SELECT doc_id, '978' || p || CAST((10 - (tot % 10)) % 10 AS VARCHAR) AS isbn13 FROM s""".stripMargin,
 
     "q_hier_facet" ->
-      """SELECT doc_id, ['0/' || source || '/', '1/' || source || '/' || lang || '/'] AS facets
+      """SELECT doc_id, '0/' || source || '/' || '|' || '1/' || source || '/' || lang || '/' AS facets
         |FROM documents""".stripMargin,
 
     "q_watermark" ->
@@ -441,11 +598,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_exact_dup_pairs" ->
-      s"""WITH p AS (SELECT $urlSql AS url, md5(text) AS h FROM documents)
+      s"""WITH $dupDocsSql,
+         |p AS (SELECT $urlSql AS url, md5(text) AS h FROM dd)
          |SELECT a.url AS url_a, b.url AS url_b FROM p a JOIN p b ON a.h = b.h AND a.url < b.url""".stripMargin,
 
     "q_exact_clusters" ->
-      s"""WITH p AS (SELECT $urlSql AS url, md5(text) AS h FROM documents),
+      s"""WITH $dupDocsSql,
+         |p AS (SELECT $urlSql AS url, md5(text) AS h FROM dd),
          |g AS (SELECT h, min(url) AS cluster_id, count(*) AS c FROM p GROUP BY h)
          |SELECT p.url, g.cluster_id FROM p JOIN g ON p.h = g.h WHERE g.c > 1""".stripMargin,
 
@@ -481,12 +640,18 @@ object SparkEntry {
          |cl AS (SELECT a AS url, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
          |m AS (SELECT cl.cluster_id, cl.url, sh.text, sh.lang, sh.source,
          |  row_number() OVER (PARTITION BY cl.cluster_id ORDER BY length(sh.text) DESC, cl.url) AS rn
-         |  FROM cl JOIN sh ON cl.url = sh.url)
-         |SELECT cluster_id, count(*) AS size, list_sort(list(url)) AS members,
+         |  FROM cl JOIN sh ON cl.url = sh.url),
+         |lg AS (SELECT cluster_id, lower(lang) AS lk, min(url) AS u, arg_min(lang, url) AS l
+         |  FROM m GROUP BY cluster_id, lower(lang)),
+         |lgs AS (SELECT cluster_id, array_to_string(list(l ORDER BY u), ',') AS langs FROM lg GROUP BY cluster_id),
+         |st AS (SELECT cluster_id, count(*) AS size,
+         |  array_to_string(list_sort(list(url)), ',') AS members,
          |  max(CASE WHEN rn = 1 THEN url END) AS rep_url,
-         |  list_sort(list(DISTINCT lang)) AS langs,
-         |  list_sort(list(DISTINCT source)) AS sources
-         |FROM m GROUP BY cluster_id""".stripMargin,
+         |  arg_min(lang, url) AS first_lang,
+         |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+         |FROM m GROUP BY cluster_id)
+         |SELECT st.cluster_id, st.size, st.members, st.rep_url, st.first_lang, lgs.langs, st.sources
+         |FROM st JOIN lgs ON st.cluster_id = lgs.cluster_id""".stripMargin,
 
     "q_export_sample" ->
       """SELECT doc_id, source FROM (
@@ -502,7 +667,7 @@ object SparkEntry {
         |  AS allfields FROM documents""".stripMargin,
 
     "q_iunique" ->
-      "SELECT doc_id, [lang, source] AS iunique FROM documents",
+      "SELECT doc_id, lang || ',' || source AS iunique FROM documents",
 
     "q_until_window" ->
       """SELECT event_id, event_type FROM events
@@ -519,11 +684,122 @@ object SparkEntry {
          |  AND levenshtein(substr(a.nrm, 1, 255), substr(b.nrm, 1, 255)) * 100.0 / length(a.nrm) < 10""".stripMargin,
 
     "q_embedding_dups" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      """WITH ee AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+        |  UNION ALL SELECT vec_id + 200000, list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+        |    FROM embeddings WHERE vec_id % 70 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM ee a JOIN ee b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin,
 
+    "q_knn_brute" ->
+      // DOUBLE-cast lists so DuckDB scores in float64 like the Spark side
+      // (float32 scoring can flip near-tie ranks)
+      """WITH s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5""".stripMargin,
+
     "q_embedding_dims" ->
-      "SELECT vec_id, len(embedding) AS dim, label FROM embeddings"
+      "SELECT vec_id, len(embedding) AS dim, label FROM embeddings",
+
+    "q_lang_id" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
+        |  len(list_filter(w, x -> list_contains(['der','die','das','und','zu'], x))) AS h_de,
+        |  len(list_filter(w, x -> list_contains(['le','la','les','et','de'], x))) AS h_fr,
+        |  len(list_filter(w, x -> list_contains(['el','los','las','y','una'], x))) AS h_es,
+        |  len(list_filter(w, x -> list_contains(['wo','ni','ta','shi','bu'], x))) AS h_zh
+        |  FROM d)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+        |       WHEN h_de >= greatest(h_en, h_fr, h_es, h_zh) THEN 'de'
+        |       WHEN h_en >= greatest(h_fr, h_es, h_zh) THEN 'en'
+        |       WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
+        |       WHEN h_fr >= h_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |FROM h""".stripMargin,
+
+    "q_strip_article" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'The ' WHEN doc_id % 3 = 1 THEN 'an ' ELSE '' END || text AS title
+        |  FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN lower(title[1:2]) = 'a ' THEN title[3:]
+        |  WHEN lower(title[1:3]) = 'an ' THEN title[4:]
+        |  WHEN lower(title[1:4]) = 'the ' THEN title[5:]
+        |  WHEN lower(title[1:3]) = 'el ' THEN title[4:]
+        |  WHEN lower(title[1:3]) = 'la ' THEN title[4:]
+        |  WHEN lower(title[1:3]) = 'le ' THEN title[4:]
+        |  WHEN lower(title[1:4]) = 'der ' THEN title[5:]
+        |  WHEN lower(title[1:4]) = 'die ' THEN title[5:]
+        |  WHEN lower(title[1:4]) = 'das ' THEN title[5:]
+        |  ELSE title END AS stripped
+        |FROM t""".stripMargin,
+
+    "q_iso_dates" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN '2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') || 'T10:30:00Z'
+        |       WHEN doc_id % 4 = 1 THEN '2024-02-30T10:00:00Z'
+        |       WHEN doc_id % 4 = 2 THEN '2024/01/15'
+        |       ELSE '2023-02-29T00:00:00Z' END AS date_str
+        |  FROM documents)
+        |SELECT doc_id, date_str,
+        |  (regexp_matches(date_str, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$')
+        |   AND try_strptime(date_str, '%Y-%m-%dT%H:%M:%SZ') IS NOT NULL) AS valid
+        |FROM t""".stripMargin,
+
+    "q_date_range" ->
+      """WITH t AS (SELECT doc_id,
+        |  '2024-01-' || lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0') ||
+        |  ',2024-03-' || lpad(CAST((doc_id % 30) + 1 AS VARCHAR), 2, '0') AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(greatest(datediff('day', DATE '1970-01-01', CAST(split_part(r, ',', 1) AS DATE)), -4371587) AS VARCHAR)
+        |  || ' ' ||
+        |  CAST(least(datediff('day', DATE '1970-01-01', CAST(split_part(r, ',', 2) AS DATE)), 2932896) AS VARCHAR)
+        |  AS range_days
+        |FROM t""".stripMargin,
+
+    "q_trim_xml" ->
+      """SELECT doc_id, regexp_replace(
+        |  '<r> <a>' || source || '</a>  <b>' || lang || '</b> </r>',
+        |  '\s*(<[^>]*>)\s*', '\1', 'g') AS trimmed
+        |FROM documents""".stripMargin,
+
+    "q_ucfirst" ->
+      "SELECT doc_id, upper(source[1]) || source[2:] AS ucfirst FROM documents",
+
+    "q_author_match" ->
+      "SELECT doc_id, (doc_id % 5) IN (0, 1) AS matched FROM documents",
+
+    "q_record_split" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS child_id,
+        |  array_to_string(w[i * 20 + 1 : i * 20 + 20], ' ') AS chunk
+        |FROM d, UNNEST(range(0, CAST(ceil(len(w) / 20.0) AS BIGINT))) AS t(i)""".stripMargin,
+
+    "q_record_check" ->
+      s"""SELECT $urlSql AS url,
+         |CASE WHEN lang NOT IN ('en', 'de', 'fr') THEN 'unknown_lang' ELSE 'ok' END AS "check"
+         |FROM documents""".stripMargin,
+
+    "q_empty_scrub" ->
+      "SELECT doc_id, lang || ',0,' || source AS scrubbed FROM documents",
+
+    "q_xpath_filter" ->
+      s"SELECT $urlSql AS url FROM documents WHERE text LIKE '%dup%'",
+
+    "q_projection_dsl" ->
+      s"""SELECT $urlSql AS u, source || '.example.com' AS host,
+         |${normSql.format("text")} AS norm, upper(lang) AS lang_u,
+         |length(text) AS text_len, substr(text, 1, 40) AS first40
+         |FROM documents""".stripMargin
   )
 }

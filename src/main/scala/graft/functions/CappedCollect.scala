@@ -23,7 +23,13 @@ class CappedCollect(cap: Int)
   override def zero: CappedBuf = CappedBuf(0L, Nil, Nil)
 
   override def reduce(b: CappedBuf, in: (Long, Long)): CappedBuf =
-    if (b.ids.size <= cap) CappedBuf(b.count + 1, in._1 :: b.ids, in._2 :: b.tags)
+    // O(1) kept-length check: while the buffer is below the keep bound,
+    // count == ids.length, so comparing count avoids an O(cap) List.size
+    // walk per input row (a degenerate m-member bucket would otherwise
+    // cost O(m*cap) traversals inside one task — the exact skew case this
+    // collector exists to absorb). keep bound = cap + 1 so finish/filter
+    // can distinguish "exactly cap" from "over cap".
+    if (b.count <= cap) CappedBuf(b.count + 1, in._1 :: b.ids, in._2 :: b.tags)
     else b.copy(count = b.count + 1)
 
   override def merge(a: CappedBuf, b: CappedBuf): CappedBuf = {

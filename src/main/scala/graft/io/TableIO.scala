@@ -82,6 +82,11 @@ object TableIO {
     val tmp = Paths.get(root, s"$stage.tmp-${java.util.UUID.randomUUID}")
     val dst = dataDir(root, stage)
     df.write.mode("overwrite").parquet(tmp.toString)
+    // Invalidate the OLD manifest before touching the data dir: a crash
+    // anywhere between here and writeManifest can then only yield
+    // data-without-manifest (= uncommitted, recomputed on resume), never
+    // new data under a stale-but-matching manifest.
+    Files.deleteIfExists(manifestPath(root, stage))
     deleteRecursive(dst)
     Files.createDirectories(dst.getParent)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)

@@ -6,19 +6,26 @@ import org.apache.spark.sql.functions._
 
 /**
  * Similarity search over an embedding column (`Array[Float]`):
- * brute-force cosine top-k as the exact baseline, and a random-hyperplane
- * LSH-bucketed variant as the scale path (bucket join instead of full
- * cross product — the same blocking idea the dedup pipeline uses for
- * text, SURVEY.md §7.0).
+ * brute-force cosine top-k as the exact baseline, and a multi-band
+ * sign-random-projection (SRP) LSH variant as the scale path (bucket
+ * joins instead of a full cross product — the same OR-of-bands blocking
+ * construction the text MinHash-LSH channel uses, SURVEY.md §7.0).
+ *
+ * Band math: a pair at angle θ collides in one b-bit band with
+ * p = (1-θ/π)^b; OR-ing L independent bands gives 1-(1-p)^L. At the
+ * near-dup threshold cos ≥ 0.95 (θ ≈ 18°, p ≈ 0.43 for b = 8), L = 16
+ * bands miss with probability (1-0.43)^16 ≈ 1.2e-4 — and exact or
+ * positively-scaled duplicates (cos = 1) collide in EVERY band, so the
+ * candidate generator has recall 1.0 on them by construction.
  */
 object Similarity {
 
-  /** Deterministic hyperplanes: nBits × dim signed coefficients from
+  /** Deterministic hyperplanes: nPlanes × dim signed coefficients from
     * splitmix64 (no wall-clock randomness, fixed seed). */
-  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     var st = seed
-    Array.fill(nBits) {
-      Array.fill(dim) {
+    Seq.fill(nPlanes) {
+      Seq.fill(dim) {
         val (s1, v) = graft.functions.SignatureCoefficients.splitmix64(st)
         st = s1
         // map to [-1, 1)
@@ -54,46 +61,90 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
-  /** Sign-random-projection bucket code (nBits-bit int) per vector. */
-  def srpBucket(emb: DataFrame, nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val planes = hyperplanes(nBits, dim, seed)
-    val v = asDouble(col("embedding"))
-    val bits = (0 until nBits).map { b =>
-      val plane = array(planes(b).map(lit): _*)
-      when(dot(v, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    emb.select(col("vec_id"), v.as("v"),
-      bits.reduce(_ + _).as("bucket"))
+  /** Multi-band SRP codes: (vec_id, v, band_id, band_key) with one
+    * bands-bit key per band. The plane matrix rides along as ONE
+    * array<array<double>> literal (`typedLit` — plain data, no
+    * per-coefficient expression nodes), so the projection stays inside
+    * whole-stage codegen and nothing is collected on the driver. */
+  def srpBands(emb: DataFrame, bands: Int, bitsPerBand: Int,
+               seed: Long): DataFrame = {
+    // Planes are generated once at a fixed max dim and SLICED to the
+    // vector's length per row (zip_with pads the shorter side with nulls,
+    // which would null the whole dot product) — no driver-side dim probe,
+    // the builder stays a pure, action-free plan.
+    val maxDim = 512
+    val planes = typedLit(hyperplanes(bands * bitsPerBand, maxDim, seed))
+    // per band: fold its bits most-significant-first (acc*2 + signbit)
+    val keys = transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L), (acc, i) => {
+        val plane = slice(element_at(planes, b * bitsPerBand + i + 1), lit(1), size(col("v")))
+        acc * 2 + when(dot(col("v"), plane) >= 0, 1L).otherwise(0L)
+      }))
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), posexplode(keys).as(Seq("band_id", "band_key")))
   }
 
-  /** Embedding near-duplicate pairs: SRP bucket join as the candidate
-    * generator (same blocking pattern as the text LSH channel), exact
-    * cosine >= threshold as the verifier. Canonical (id_a < id_b). */
-  def cosineDupPairs(emb: DataFrame, threshold: Double, nBits: Int = 8,
-                     seed: Long = 42L): DataFrame = {
-    val coded = srpBucket(emb, nBits, seed)
-    val a = coded.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = coded.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, "bucket")
-      .where(col("id_a") < col("id_b"))
+  /** Back-compat single-bucket SRP code (nBits-bit int) per vector —
+    * kept as the cheap partitioner primitive; candidate generation goes
+    * through `srpBands` (multi-band OR) instead. */
+  def srpBucket(emb: DataFrame, nBits: Int = 8, seed: Long = 42L): DataFrame =
+    srpBands(emb, bands = 1, bitsPerBand = nBits, seed = seed)
+      .select(col("vec_id"), col("v"), col("band_key").as("bucket"))
+
+  /** Embedding near-duplicate pairs: multi-band SRP bucket join as the
+    * candidate generator (OR of `bands` independent `bitsPerBand`-bit
+    * codes — see class doc for the recall math), exact cosine >= threshold
+    * as the verifier. Canonical (id_a < id_b). Buckets above `bucketCap`
+    * members are skew-guarded: only the min-id member is paired with the
+    * rest (star expansion — O(m) pairs instead of O(m²); the verifier and
+    * connected components restore the full cluster). */
+  def cosineDupPairs(emb: DataFrame, threshold: Double, bands: Int = 16,
+                     bitsPerBand: Int = 8, seed: Long = 42L,
+                     bucketCap: Int = 10000): DataFrame = {
+    val coded = srpBands(emb, bands, bitsPerBand, seed)
+    val counts = coded.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))
+      .where(col("n") >= 2)
+    val kept = coded.join(counts, Seq("band_id", "band_key"))
+    def side(pred: Column, idAs: String, vAs: String) =
+      kept.where(pred).select(col("band_id").as(s"bi_$idAs"),
+        col("band_key").as(s"bk_$idAs"), col("vec_id").as(idAs), col("v").as(vAs))
+    // normal buckets: all unordered pairs
+    val smallA = side(col("n") <= bucketCap, "id_a", "va")
+    val smallB = side(col("n") <= bucketCap, "id_b", "vb")
+    val smallPairs = smallA.join(smallB,
+      col("bi_id_a") === col("bi_id_b") && col("bk_id_a") === col("bk_id_b") &&
+        col("id_a") < col("id_b"))
+    // over-cap buckets: star from the min-id member ONLY — the join never
+    // generates the O(m²) intermediate, just m rows per degenerate bucket
+    val bigRep = side(col("n") > bucketCap && col("vec_id") === col("min_id"), "id_a", "va")
+    val bigOthers = side(col("n") > bucketCap && col("vec_id") =!= col("min_id"), "id_b", "vb")
+    val bigPairs = bigRep.join(bigOthers,
+      col("bi_id_a") === col("bi_id_b") && col("bk_id_a") === col("bk_id_b"))
+    smallPairs.unionByName(bigPairs)
       .where(cosine(col("va"), col("vb")) >= threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
   }
 
-  /** ANN: exact rerank within SRP buckets only — candidate generation is
-    * a bucket equi-join (shuffle on a small key) instead of a cross join.
-    * Approximate by construction; recall grows with fewer bits / multi-probe. */
+  /** ANN: exact rerank within shared SRP bands — candidate generation is
+    * a multi-band bucket equi-join (shuffle on small keys) instead of a
+    * cross join. Recall 1-(1-p)^bands per neighbor; raise `bands` or
+    * lower `bitsPerBand` to trade cost for recall. */
   def knnLsh(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
-             nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val coded = srpBucket(emb, nBits, seed)
+             bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val coded = srpBands(emb, bands, bitsPerBand, seed)
     val queries = coded.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val scored = coded.join(queries, Seq("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("band_id"), col("band_key"))
+    val scored = coded.join(queries, Seq("band_id", "band_key"))
       .where(col("vec_id") =!= col("query_id"))
+      // score per collision, dedupe multi-band repeats on the narrow
+      // (ids, sim) rows — never shuffles the vectors themselves
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

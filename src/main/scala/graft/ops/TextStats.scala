@@ -20,8 +20,8 @@ object TextStats {
     "en" -> Seq("the", "a", "of", "and", "to"),
     "de" -> Seq("der", "die", "das", "und", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "de"),
-    "es" -> Seq("el", "la", "los", "y", "de"),
-    "zh" -> Seq("de", "le", "he", "shi", "bu"))
+    "es" -> Seq("el", "los", "las", "y", "una"),
+    "zh" -> Seq("wo", "ni", "ta", "shi", "bu"))
 
   private def tokensCol(text: Column): Column = split(text, " ")
 

@@ -44,6 +44,10 @@ final case class DedupConfig(
     /** reference gate: format (≡ lang) equality required
       * (classes/RecordManager.php:1489-1497). */
     requireSameLang: Boolean = false,
+    /** exact content-hash channel on/off (off isolates the probabilistic
+      * channels in tests — e.g. proving over-cap star salvage clusters a
+      * hot band without the exact channel's help). */
+    exactChannel: Boolean = true,
     seed: Long = 42L) {
 
   require(minhashK == bands * rowsPerBand, "minhashK must equal bands*rowsPerBand")
@@ -246,6 +250,21 @@ object DedupStages {
     flatten(transform(m, (x, i) =>
       transform(slice(m, i + lit(2), size(m)), y => struct(x.as("a"), y.as("b")))))
 
+  /** Star expansion: min member paired with every other — O(|m|) pairs.
+    * Used to SALVAGE over-cap buckets: the retained cap-sample still
+    * yields candidates (the reference caps its candidate list but still
+    * matches within it, classes/RecordManager.php:1402-1410); the verify
+    * stage discards boilerplate collisions and connected components
+    * restores full clusters through the star center. */
+  private def starExpand(m: Column): Column =
+    transform(slice(m, lit(2), greatest(size(m) - 1, lit(0))), y =>
+      struct(element_at(m, 1).as("a"), y.as("b")))
+
+  /** Pair expansion dispatch: full clique under the cap, star salvage
+    * over it. `bn` = the bucket's TRUE member count. */
+  private def expandMembers(bn: Column, m: Column, cap: Int): Column =
+    when(bn <= cap, pairExpand(m)).otherwise(starExpand(m))
+
   /** Channel 1 — MinHash LSH banding: bucket by (band_id, band_hash),
     * expand pairs within kept buckets. */
   def lshCandidates(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
@@ -254,9 +273,9 @@ object DedupStages {
     val dropped = buckets.where(col("g.count") > cfg.bucketCap)
       .select(col("band_id"), col("band_hash"), col("g.count").as("bucket_n"))
     val pairs = buckets
-      .where(col("g.count") <= cfg.bucketCap && col("g.count") >= 2)
-      .select(sort_array(col("g.ids")).as("m"))
-      .select(explode(pairExpand(col("m"))).as("p"))
+      .where(col("g.count") >= 2)
+      .select(col("g.count").as("bn"), sort_array(col("g.ids")).as("m"))
+      .select(explode(expandMembers(col("bn"), col("m"), cfg.bucketCap)).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
         lit("minhash_lsh").as("channel"))
       .distinct()
@@ -285,10 +304,10 @@ object DedupStages {
     val dropped = buckets.where(col("g.count") > cfg.bucketCap)
       .select(col("probe_id"), col("probe_val"), col("g.count").as("bucket_n"))
     val pairs = buckets
-      .where(col("g.count") <= cfg.bucketCap && col("g.count") >= 2)
-      .select(array_sort(zip_with(col("g.ids"), col("g.tags"),
+      .where(col("g.count") >= 2)
+      .select(col("g.count").as("bn"), array_sort(zip_with(col("g.ids"), col("g.tags"),
         (u, t) => struct(u.as("u"), t.as("t")))).as("m"))
-      .select(explode(pairExpand(col("m"))).as("p"))
+      .select(explode(expandMembers(col("bn"), col("m"), cfg.bucketCap)).as("p"))
       .where(bit_count(col("p.a.t").bitwiseXOR(col("p.b.t"))) <= cfg.simhashMaxHamming)
       .select(col("p.a.u").as("id_a"), col("p.b.u").as("id_b"),
         lit("simhash").as("channel"))
@@ -309,9 +328,9 @@ object DedupStages {
     val dropped = buckets.where(col("g.count") > cfg.bucketCap)
       .select(col("anchor"), col("g.count").as("bucket_n"))
     val pairs = buckets
-      .where(col("g.count") <= cfg.bucketCap && col("g.count") >= 2)
-      .select(sort_array(col("g.ids")).as("m"))
-      .select(explode(pairExpand(col("m"))).as("p"))
+      .where(col("g.count") >= 2)
+      .select(col("g.count").as("bn"), sort_array(col("g.ids")).as("m"))
+      .select(explode(expandMembers(col("bn"), col("m"), cfg.bucketCap)).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
         lit("substring").as("channel"))
       .distinct()
@@ -367,12 +386,26 @@ object DedupStages {
     * the probes to dirty-touching buckets (graft.pipeline.IncrementalDedup). */
   def candidatesFromProbes(probes: DataFrame, sigs: DataFrame,
                            cfg: DedupConfig): (DataFrame, DataFrame) = {
-    val buckets = cappedBuckets(probes,
-      Seq("channel", "bucket_key"), cfg.bucketCap, col("tag"))
-    val dropped = buckets.where(col("g.count") > cfg.bucketCap)
-      .select(col("channel"), col("bucket_key"), col("g.count").as("bucket_n"))
-    val probePairs = buckets
-      .where(col("g.count") <= cfg.bucketCap && col("g.count") >= 2)
+    // one counting pass (map-side partial agg → tiny shuffle) classifies
+    // every bucket: singleton (ignored), normal (full clique expansion),
+    // over-cap (star SALVAGE — see below). `center` = true min doc_id.
+    val counts = probes.groupBy(col("channel"), col("bucket_key"))
+      .agg(F.count(lit(1)).as("bucket_n"), F.min(col("doc_id")).as("center"))
+      .where(col("bucket_n") >= 2)
+    val smallKeys = counts.where(col("bucket_n") <= cfg.bucketCap)
+    val bigKeys = counts.where(col("bucket_n") > cfg.bucketCap)
+    // over-cap log: true sizes, queryable (the reference logs its
+    // too-many-candidates keys, classes/RecordManager.php:1402-1410)
+    val dropped = bigKeys.select(col("channel"), col("bucket_key"), col("bucket_n"))
+
+    // normal buckets: bounded member collect + in-task clique expansion
+    val smallProbes = probes.join(
+      smallKeys.select("channel", "bucket_key"), Seq("channel", "bucket_key"), "left_semi")
+    val collect = org.apache.spark.sql.functions.udaf(
+      new graft.functions.CappedCollect(cfg.bucketCap))
+    val cliquePairs = smallProbes
+      .groupBy(col("channel"), col("bucket_key"))
+      .agg(collect(col("doc_id"), col("tag")).as("g"))
       .select(col("channel"), array_sort(zip_with(col("g.ids"), col("g.tags"),
         (u, t) => struct(u.as("u"), t.as("t")))).as("m"))
       .select(col("channel"), explode(pairExpand(col("m"))).as("p"))
@@ -381,8 +414,25 @@ object DedupStages {
       .where(col("channel") =!= "simhash" ||
         bit_count(col("p.a.t").bitwiseXOR(col("p.b.t"))) <= cfg.simhashMaxHamming)
       .select(col("p.a.u").as("id_a"), col("p.b.u").as("id_b"), col("channel"))
-      .distinct()
-    val pairs = probePairs.unionByName(exactCandidates(sigs))
+
+    // over-cap buckets: SALVAGED as a deterministic full star — the tiny
+    // over-cap key list broadcasts back onto the probe table and every
+    // member pairs with the bucket's min-id center: O(m) candidate rows
+    // per degenerate bucket (never O(m²)), complete membership coverage,
+    // bounded memory. Precision is delegated to the verify stage (the
+    // Hamming residual is skipped here — a salvaged false positive costs
+    // one verify row; connected components restore the full cluster
+    // through the center). Reference analog: caps its candidate list but
+    // still matches within it (classes/RecordManager.php:1402-1410).
+    val starPairs = probes
+      .join(broadcast(bigKeys), Seq("channel", "bucket_key"))
+      .where(col("doc_id") =!= col("center"))
+      .select(col("center").as("id_a"), col("doc_id").as("id_b"), col("channel"))
+
+    val probePairs = cliquePairs.unionByName(starPairs).distinct()
+    val withExact =
+      if (cfg.exactChannel) probePairs.unionByName(exactCandidates(sigs)) else probePairs
+    val pairs = withExact
       .groupBy(col("id_a"), col("id_b"))
       .agg(sort_array(collect_set(col("channel"))).as("channels"))
     (pairs, dropped)
@@ -398,12 +448,20 @@ object DedupStages {
     * urls (the only place that pays string width). */
   def verified(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     // side rows need shingle sets; a lean side (no `shingles` column but
-    // `text`) computes them here — only pair participants pay the cost
+    // `text`) computes them here. The semi-join to the distinct pair
+    // participants comes FIRST — below the shingle projection — so only
+    // participants (~0.1% of the corpus at web scale) pay the shingling
+    // cost; without it Spark computes shingle sets for every row of the
+    // side relation, twice (a and b sides), silently re-paying the whole
+    // signature-scan cost in the verify stage.
     val withShingles =
       if (sigs.columns.contains("shingles")) sigs
       else {
+        val participants = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
         val sh = TextColumns.shingleSet(col("text"), cfg.shingleSize)
-        sigs.withColumn("shingles", sh).withColumn("n_shingles", size(col("shingles")))
+        sigs.join(participants, Seq("doc_id"), "left_semi")
+          .withColumn("shingles", sh).withColumn("n_shingles", size(col("shingles")))
       }
     val side = withShingles.select(col("doc_id").as("jid"), col("url"), col("source"),
       col("lang"), col("shingles"), col("n_shingles"))
@@ -438,23 +496,47 @@ object DedupStages {
     ConnectedComponents.run(verifiedPairs.select(col("url_a"), col("url_b")))
       .select(col("vertex").as("url"), col("component").as("cluster_id"))
 
-  /** Stage 5 — cluster merge (the `mergeRecords` fold,
-    * classes/SolrUpdater.php:1204-1268): members collected, representative
-    * = longest text (reference keeps the longest string per merged field)
-    * with min-url tiebreak, langs unioned. */
-  def mergedClusters(clusters: DataFrame, pages: DataFrame): DataFrame = {
+  /** Stage 5 — cluster merge with the reference's per-field fold
+    * semantics (`mergeRecords`, classes/SolrUpdater.php:1204-1268):
+    *
+    *  - `rep_text` / `rep_url`  — keep-longest (reference keeps the longest
+    *    string per single-valued field), min-url tiebreak
+    *  - `first_lang`            — first-record-wins (member order = url
+    *    asc; the reference folds fields in cluster-member order and the
+    *    first non-null value sticks)
+    *  - `langs`                 — case-insensitive first-wins union
+    *    (MetadataUtils::array_iunique, classes/MetadataUtils.php:288-298):
+    *    one value per lower-cased key, the earliest member's casing kept,
+    *    in member order
+    *  - `members`               — BOUNDED: the first `memberCap` urls in
+    *    url order via a window rank (sort-based, spills; no unbounded
+    *    collect buffer on a degenerate boilerplate cluster), `size` stays
+    *    the true count
+    */
+  def mergedClusters(clusters: DataFrame, pages: DataFrame,
+                     memberCap: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val p = withSource(pages).select(col("url"), col("text"), col("lang"), col("source"))
-    clusters.join(p, "url")
-      .groupBy(col("cluster_id"))
-      .agg(
-        F.count(lit(1)).as("size"),
-        sort_array(collect_list(col("url"))).as("members"),
-        F.min(struct((-length(col("text"))).as("neg_len"), col("url"), col("text")))
-          .getField("text").as("rep_text"),
-        F.min(struct((-length(col("text"))).as("neg_len"), col("url")))
-          .getField("url").as("rep_url"),
-        sort_array(collect_set(col("lang"))).as("langs"),
-        sort_array(collect_set(col("source"))).as("sources"))
+    val m = clusters.join(p, "url")
+    val stats = m.groupBy(col("cluster_id")).agg(
+      F.count(lit(1)).as("size"),
+      F.min(struct((-length(col("text"))).as("neg_len"), col("url"), col("text")))
+        .getField("text").as("rep_text"),
+      F.min(struct((-length(col("text"))).as("neg_len"), col("url")))
+        .getField("url").as("rep_url"),
+      F.min(struct(col("url"), col("lang"))).getField("lang").as("first_lang"),
+      sort_array(collect_set(col("source"))).as("sources"))
+    val w = Window.partitionBy("cluster_id").orderBy("url")
+    val members = m.select(col("cluster_id"), col("url"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= memberCap)
+      .groupBy("cluster_id").agg(sort_array(collect_list(col("url"))).as("members"))
+    val langs = m.groupBy(col("cluster_id"), lower(col("lang")).as("lk"))
+      .agg(F.min(struct(col("url"), col("lang"))).as("o"))
+      .groupBy("cluster_id")
+      .agg(transform(sort_array(collect_list(col("o"))), _.getField("lang")).as("langs"))
+    stats.join(members, "cluster_id").join(langs, "cluster_id")
+      .select("cluster_id", "size", "members", "rep_text", "rep_url",
+        "first_lang", "langs", "sources")
   }
 }
 
@@ -463,6 +545,10 @@ object DedupPipeline {
 
   final case class Result(
       signatures: DataFrame,
+      /** fixed-width probe index (channel, bucket_key, doc_id, tag) — the
+        * relation the incremental pass probes; persisted as a checkpoint
+        * stage, lazily recomputed otherwise */
+      probes: DataFrame,
       candidatePairs: DataFrame,
       droppedBuckets: DataFrame,
       verifiedPairs: DataFrame,
@@ -483,39 +569,55 @@ object DedupPipeline {
     val ch = cfg.configHash
     val fp = checkpointRoot.map(_ => inputFingerprint(pages)).getOrElse("nofp")
 
+    // per-stage wall timings feed the lineage/metrics table (0 ms = stage
+    // reused from checkpoint — the resume path is visible in the metrics)
+    val timings = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    def timed(name: String)(compute: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = TableIO.stage(spark, checkpointRoot, name, ch, fp)(compute)
+      timings += name -> ((System.nanoTime() - t0) / 1000000L)
+      out
+    }
+
     // pages + dictionary ids, pinned (cache or table) so doc_ids are
     // stable across the fan-out
-    val pw0 = TableIO.stage(spark, checkpointRoot, "pages_ids", ch, fp) {
-      DedupStages.withIds(pages)
-    }
+    val pw0 = timed("pages_ids")(DedupStages.withIds(pages))
     val pw = if (checkpointRoot.isEmpty) pw0.cache() else pw0
 
     // LEAN signature table: fixed-width columns only (see leanSignatures)
-    val sigs0 = TableIO.stage(spark, checkpointRoot, "signatures", ch, fp) {
-      DedupStages.leanSignatures(pw, cfg)
-    }
+    val sigs0 = timed("signatures")(DedupStages.leanSignatures(pw, cfg))
     val sigs = if (checkpointRoot.isEmpty) sigs0.cache() else sigs0
 
-    // probe rows are recomputed in one fused scan, never stored
-    val (cand, dropped) = DedupStages.candidatesFromProbes(
-      DedupStages.probeRows(pw, cfg), sigs, cfg)
-    val candC = TableIO.stage(spark, checkpointRoot, "candidate_pairs", ch, fp)(cand)
-    val droppedC = TableIO.stage(spark, checkpointRoot, "dropped_buckets", ch, fp)(dropped)
+    // probe rows: when running without checkpoints they are fused into
+    // candidate generation (one scan, never materialized — the lean path
+    // that keeps the signature stage compute-bound); when checkpointing,
+    // the fixed-width (channel, bucket_key, doc_id, tag) relation IS
+    // persisted — it is the index the incremental pass probes with
+    // O(dirty) work instead of a full-corpus text rescan
+    val probes = checkpointRoot match {
+      case Some(_) => timed("probes")(DedupStages.probeRows(pw, cfg))
+      case None => DedupStages.probeRows(pw, cfg)
+    }
+    val (cand, dropped) = DedupStages.candidatesFromProbes(probes, sigs, cfg)
+    val candC = timed("candidate_pairs")(cand)
+    val droppedC = timed("dropped_buckets")(dropped)
 
     // verify joins the pair participants back to text and recomputes
     // their shingle sets inline
     val verSide = sigs.select("doc_id", "url", "source", "lang")
       .join(pw.select("doc_id", "text"), "doc_id")
-    val ver0 = TableIO.stage(spark, checkpointRoot, "verified_pairs", ch, fp) {
-      DedupStages.verified(candC, verSide, cfg)
-    }
+    val ver0 = timed("verified_pairs")(DedupStages.verified(candC, verSide, cfg))
     val ver = if (checkpointRoot.isEmpty) ver0.cache() else ver0
-    val clu = TableIO.stage(spark, checkpointRoot, "clusters", ch, fp) {
-      DedupStages.clusters(ver)
+    val clu = timed("clusters")(DedupStages.clusters(ver))
+    val merged = timed("merged_clusters")(DedupStages.mergedClusters(clu, pw))
+
+    // lineage/metrics table: per-stage + per-partition rows (north rule;
+    // reference analog classes/PerformanceCounter.php:40-97)
+    checkpointRoot.foreach { root =>
+      TableIO.commit(
+        graft.io.Metrics.stageMetrics(spark, root, timings.toSeq, s"$ch-$fp"),
+        root, "stage_metrics", ch, fp)
     }
-    val merged = TableIO.stage(spark, checkpointRoot, "merged_clusters", ch, fp) {
-      DedupStages.mergedClusters(clu, pw)
-    }
-    Result(sigs, candC, droppedC, ver, clu, merged)
+    Result(sigs, probes, candC, droppedC, ver, clu, merged)
   }
 }

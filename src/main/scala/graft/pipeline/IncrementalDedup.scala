@@ -29,7 +29,21 @@ import org.apache.spark.sql.functions._
  */
 object IncrementalDedup {
 
-  final case class PrevState(signatures: DataFrame, verifiedPairs: DataFrame)
+  /** Previous run's persisted state: the lean signature table, the
+    * fixed-width probe index (channel, bucket_key, doc_id, tag — the
+    * `probes` checkpoint stage `DedupPipeline.run` commits), and the
+    * verified-pairs table. With the probe index stored, the incremental
+    * pass never rescans unchanged documents' TEXT: unchanged probes are
+    * read back as narrow fixed-width rows and only dirty docs are
+    * re-shingled/re-hashed — O(dirty), not O(corpus). */
+  final case class PrevState(signatures: DataFrame, probes: DataFrame,
+                             verifiedPairs: DataFrame)
+
+  /** The probe rows freshly generated for the dirty set only — exposed so
+    * tests (and metrics) can assert the incremental pass's input scan
+    * scales with the dirty set, not the corpus. */
+  def freshProbes(deltaPw: DataFrame, cfg: DedupConfig): DataFrame =
+    DedupStages.probeRows(deltaPw, cfg)
 
   def run(spark: SparkSession, prev: PrevState, newPages: DataFrame,
           cfg: DedupConfig = DedupConfig()): DedupPipeline.Result = {
@@ -56,16 +70,32 @@ object IncrementalDedup {
     val sigs = unchangedSigs.unionByName(deltaSigs).cache()
     val deltaIds = sigs.where(col("doc_id") > maxOld).select("doc_id")
 
-    // id -> text side for fused probe generation and verify
+    // id -> text side; consumed ONLY for (a) dirty-doc probe generation
+    // and (b) the verify stage, which semi-joins to pair participants
+    // before shingling — no unchanged-doc text is ever re-read in full
     val pw = sigs.select("doc_id", "url", "source", "lang")
       .join(pagesSrc.select("url", "text"), Seq("url")).cache()
+    val deltaPw = pw.join(deltaIds, Seq("doc_id"), "left_semi")
 
+    // probe rows: freshly computed for DIRTY docs only; unchanged docs'
+    // probes come from the stored index (narrow fixed-width rows, no text)
+    val deltaProbes = freshProbes(deltaPw, cfg)
+    val unchangedProbes = prev.probes
+      .join(unchangedSigs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("channel", "bucket_key", "doc_id", "tag")
     // candidate regeneration only in buckets touching a dirty doc
-    val probeAll = DedupStages.probeRows(pw, cfg)
-    val dirtyBuckets = probeAll.join(deltaIds, Seq("doc_id"), "left_semi")
-      .select("channel", "bucket_key").distinct()
-    val probeSub = probeAll.join(dirtyBuckets, Seq("channel", "bucket_key"), "left_semi")
-    val (deltaPairs, dropped) = DedupStages.candidatesFromProbes(probeSub, sigs, cfg)
+    val dirtyBuckets = deltaProbes.select("channel", "bucket_key").distinct()
+    val probeSub = unchangedProbes
+      .unionByName(deltaProbes.select("channel", "bucket_key", "doc_id", "tag"))
+      .join(dirtyBuckets, Seq("channel", "bucket_key"), "left_semi")
+    // exact channel restricted the same way: only content-hash groups
+    // containing a dirty doc are re-grouped (unchanged-unchanged exact
+    // pairs are carried over with the rest of the verified table)
+    val dirtyHashes = sigs.join(deltaIds, Seq("doc_id"), "left_semi")
+      .select("content_hash").distinct()
+    val sigsForExact = sigs.join(dirtyHashes, Seq("content_hash"), "left_semi")
+    val (deltaPairs, dropped) =
+      DedupStages.candidatesFromProbes(probeSub, sigsForExact, cfg)
     val deltaVerified = DedupStages.verified(deltaPairs, pw, cfg)
 
     // carry over previous pairs whose BOTH endpoints are unchanged urls
@@ -86,6 +116,11 @@ object IncrementalDedup {
 
     val clusters = DedupStages.clusters(verifiedAll)
     val merged = DedupStages.mergedClusters(clusters, pagesSrc)
-    DedupPipeline.Result(sigs, deltaPairs, dropped, verifiedAll, clusters, merged)
+    // updated probe index for the NEXT incremental round: stored probes of
+    // surviving unchanged docs + fresh dirty-doc probes
+    val probesAll = unchangedProbes
+      .unionByName(deltaProbes.select("channel", "bucket_key", "doc_id", "tag"))
+    DedupPipeline.Result(sigs, probesAll, deltaPairs, dropped, verifiedAll,
+      clusters, merged)
   }
 }

@@ -54,6 +54,7 @@ object StreamingDedup {
       else {
         val prev = IncrementalDedup.PrevState(
           TableIO.read(spark, stateDir, "signatures"),
+          TableIO.read(spark, stateDir, "probes"),
           TableIO.read(spark, stateDir, "verified_pairs"))
         IncrementalDedup.run(spark, prev, snapshot, cfg)
       }
@@ -68,9 +69,11 @@ object StreamingDedup {
     val mer = TableIO.commit(result.merged, stateDir, "merged_clusters", ch, fp)
     val clu = TableIO.commit(result.clusters, stateDir, "clusters", ch, fp)
     val ver = TableIO.commit(result.verifiedPairs, stateDir, "verified_pairs", ch, fp)
+    val prb = TableIO.commit(result.probes, stateDir, "probes", ch, fp)
     val sigs = TableIO.commit(result.signatures, stateDir, "signatures", ch, fp)
     TableIO.commit(snapshot, stateDir, "pages", ch, fp)
-    DedupPipeline.Result(sigs, result.candidatePairs, result.droppedBuckets, ver, clu, mer)
+    DedupPipeline.Result(sigs, prb, result.candidatePairs, result.droppedBuckets,
+      ver, clu, mer)
   }
 
   /** Attach to a streaming pages DataFrame (readStream source of the same

@@ -222,6 +222,71 @@ object Normalize {
   def stripLeadingPunctuation(str: String, punctuation: String = " \\#!?/:;.,=(['\""): String =
     str.dropWhile(c => punctuation.indexOf(c) >= 0)
 
+  /** Default article list for `stripLeadingArticle`. The reference loads
+    * `MetadataUtils::$articles` from config (classes/MetadataUtils.php:44);
+    * this is the usual list, trailing space included as the reference
+    * entries carry it. */
+  val defaultArticles: Seq[String] =
+    Seq("a ", "an ", "the ", "el ", "la ", "le ", "der ", "die ", "das ")
+
+  /** Reference `stripLeadingArticle` (classes/MetadataUtils.php:266-278):
+    * first article whose BYTES case-insensitively prefix the string
+    * (strncasecmp is ASCII-case-folding) is stripped; break after one. */
+  def stripLeadingArticle(str: String, articles: Seq[String] = defaultArticles): String = {
+    articles.foreach { article =>
+      if (str.length >= article.length &&
+          str.substring(0, article.length).equalsIgnoreCase(article))
+        return str.substring(article.length)
+    }
+    str
+  }
+
+  private val iso8601 = "^(\\d{4})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):(\\d{2})Z$".r
+
+  /** Reference `validateISO8601Date` (classes/MetadataUtils.php:323-336):
+    * strict `YYYY-MM-DDTHH:MM:SSZ` shape AND a real calendar datetime
+    * (the reference compares gmmktime's normalized epoch with strtotime's
+    * literal parse — equal only when nothing wrapped, e.g. no Feb 30). */
+  def validateISO8601Date(date: String): Boolean = date match {
+    case iso8601(y, mo, d, h, mi, s) =>
+      try {
+        java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, s.toInt)
+        true
+      } catch { case _: java.time.DateTimeException => false }
+    case _ => false
+  }
+
+  /** Reference `convertDateRange` (classes/MetadataUtils.php:345-363):
+    * "start,end" date pair → floor(days since epoch, UTC) pair, start
+    * clamped up to -4371587 and end down to 2932896, space-joined.
+    * The reference parses with PHP strtotime; this re-specification pins
+    * the ISO `YYYY-MM-DD` subset the pipeline feeds it. */
+  def convertDateRange(range: String): String = {
+    if (range == null) return null
+    val parts = range.split(",", 2)
+    def days(s: String): Long =
+      java.time.LocalDate.parse(s.trim).toEpochDay
+    val start = math.max(days(parts(0)), -4371587L)
+    val end = math.min(days(parts(1)), 2932896L)
+    s"$start $end"
+  }
+
+  /** Reference `trimXMLWhitespace` (classes/MetadataUtils.php:372-375):
+    * strip whitespace BETWEEN tags but never inside element text —
+    * whole-element alternative first so `<t> x </t>`'s data whitespace
+    * survives. Same PCRE, Java syntax. */
+  def trimXMLWhitespace(xml: String): String =
+    xml.replaceAll("\\s*(<([^>]*)>[^<]*</\\2>|<[^>]*>)\\s*", "$1")
+
+  /** Reference `ucFirst` (classes/MetadataUtils.php:431-440): mb-aware
+    * first-character uppercase (codepoint, not UTF-16 unit). */
+  def ucFirst(s: String): String =
+    if (s == null || s.isEmpty) s
+    else {
+      val n = Character.charCount(s.codePointAt(0))
+      s.substring(0, n).toUpperCase + s.substring(n)
+    }
+
   /** Reference `createIdSortKey` (classes/MetadataUtils.php:308-314):
     * trailing digit run if present, else the whole id. */
   def createIdSortKey(id: String): String = {

@@ -38,4 +38,36 @@ class SimilaritySpec extends AnyFunSuite {
       .select("neighbor_id").head().getLong(0)
     assert(got == 1L)
   }
+
+  test("multi-band SRP recall: >=99% of true cosine>=0.95 pairs survive the OR-of-bands generator (2k vectors)") {
+    // 200 planted near-dup pairs (anchor + small jitter) + 1600 random
+    val rnd = new scala.util.Random(17)
+    val dim = 32
+    def vec() = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val planted = (0 until 200).flatMap { i =>
+      val a = vec()
+      // jitter small enough that cosine stays >= ~0.99
+      val b = a.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.03f)
+      Seq((i * 2).toLong -> a, (i * 2 + 1).toLong -> b)
+    }
+    val noise = (400 until 2000).map(i => i.toLong -> vec())
+    val df = (planted ++ noise).toDF("vec_id", "embedding").cache()
+
+    // exact truth via the brute-force join (small n, test-only)
+    val base = df.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val a = base.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = base.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val truth = a.join(b, col("ia") < col("ib"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= 0.95)
+      .select(col("ia"), col("ib"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 150, s"fixture sanity: ${truth.size} true pairs")
+
+    val got = Similarity.cosineDupPairs(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives (exact verifier) and >=99% recall (16x8 bands)
+    assert(got.subsetOf(truth))
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.99, s"recall $recall below 0.99 (${truth.size - got.size} missed)")
+  }
 }

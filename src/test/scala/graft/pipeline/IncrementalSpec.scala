@@ -45,7 +45,7 @@ class IncrementalSpec extends AnyFunSuite {
     val cfg = DedupConfig()
     val full1 = DedupPipeline.run(spark, toDf(v1).cache(), cfg)
     val prev = IncrementalDedup.PrevState(
-      full1.signatures.cache(), full1.verifiedPairs.cache())
+      full1.signatures.cache(), full1.probes.cache(), full1.verifiedPairs.cache())
 
     val incr = IncrementalDedup.run(spark, prev, toDf(v2).cache(), cfg)
     val cold = DedupPipeline.run(spark, toDf(v2), cfg)
@@ -59,5 +59,39 @@ class IncrementalSpec extends AnyFunSuite {
     val recomputed = incr.signatures.where(col("doc_id") >
       prev.signatures.agg(max("doc_id")).head().getLong(0)).count()
     assert(recomputed < v2.size / 2, s"only dirty docs re-signed (got $recomputed of ${v2.size})")
+  }
+
+  test("O(dirty): probe work scales with the dirty set and unchanged docs join candidates ONLY via the stored probe index") {
+    val corpus = CorpusGen.generate(seed = 11L, nBase = 120)
+    val v1 = corpus.pages
+    // one dirty doc: a NEAR copy (not exact — keeps the content-hash
+    // channel out of the picture) of an existing unchanged page
+    val base = v1.head
+    val near = base.copy(url = "https://newhost.example.com/doc/nn0",
+      source = "newhost", text = base.text + " tailword")
+    val v2 = v1 :+ near
+
+    val cfg = DedupConfig()
+    val full1 = DedupPipeline.run(spark, toDf(v1).cache(), cfg)
+    val prev = IncrementalDedup.PrevState(
+      full1.signatures.cache(), full1.probes.cache(), full1.verifiedPairs.cache())
+
+    val incr = IncrementalDedup.run(spark, prev, toDf(v2).cache(), cfg)
+    // the near pair is found through the UNCHANGED side's stored probes
+    assert(incr.verifiedPairs
+      .where(col("url_a") === near.url || col("url_b") === near.url)
+      .count() >= 1, "dirty near-copy must pair with its unchanged original")
+    // probe work is O(dirty): the updated index grew by ~one doc's probes
+    val grown = incr.probes.count() - full1.probes.count()
+    assert(grown > 0 && grown < 100,
+      s"fresh probe rows must be one doc's worth, got $grown")
+
+    // CONTROL: with the stored index emptied, the same pair is NOT found —
+    // proof the incremental pass does not secretly re-probe unchanged text
+    val prevEmpty = prev.copy(probes = full1.probes.where(lit(false)))
+    val incrEmpty = IncrementalDedup.run(spark, prevEmpty, toDf(v2), cfg)
+    assert(incrEmpty.verifiedPairs
+      .where(col("url_a") === near.url || col("url_b") === near.url)
+      .count() === 0, "emptied index must hide the unchanged side")
   }
 }

@@ -91,17 +91,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(hotUrls.forall(clusters.contains))
   }
 
-  test("skew guard: bucket cap drops the 60-deep boilerplate buckets, exact channel preserves the cluster") {
+  test("skew guard: bucket cap logs the 60-deep boilerplate buckets, exact channel preserves the cluster") {
     val capped = DedupConfig(bucketCap = 10)
     val r = DedupPipeline.run(spark, pagesDf, capped)
     assert(r.droppedBuckets.count() > 0,
       "60 identical pages must produce over-cap LSH/probe buckets at cap=10")
-    // even with every hot LSH bucket dropped, the exact content-hash
-    // channel (star-reduced, cap-free) still clusters all 60 pages
     val clusters = r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap
     val hotUrls = corpus.truth.filter(_.kind == "hot-band").map(_.url).toSet
     assert(hotUrls.forall(clusters.contains))
     assert(hotUrls.flatMap(clusters.get).size == 1)
+  }
+
+  test("over-cap star salvage: hot band fully clusters via LSH alone (exact channel OFF, cap=10)") {
+    val capped = DedupConfig(bucketCap = 10, exactChannel = false)
+    val r = DedupPipeline.run(spark, pagesDf, capped)
+    assert(r.droppedBuckets.count() > 0, "over-cap buckets must still be logged")
+    // the salvaged star (bucket min-id center × every member, O(m) rows)
+    // must cluster ALL 60 identical pages without the exact channel's help
+    val clusters = r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    val hotUrls = corpus.truth.filter(_.kind == "hot-band").map(_.url).toSet
+    assert(hotUrls.forall(clusters.contains),
+      "every hot-band page must be clustered via salvaged over-cap pairs")
+    assert(hotUrls.flatMap(clusters.get).size == 1, "…in ONE cluster")
   }
 
   test("determinism: two runs produce identical cluster tables") {
