@@ -33,13 +33,38 @@ object Bench {
     s
   }
 
-  /** Full pipeline, all stages forced; returns wall seconds. */
-  private def runPipeline(s: SparkSession, pages: => org.apache.spark.sql.DataFrame): Double = {
+  /** Full pipeline, all stages forced; returns wall seconds (and the
+    * still-cached result when `keep` — caller must unpersist). */
+  private def runPipeline(s: SparkSession, pages: => org.apache.spark.sql.DataFrame,
+                          keep: Boolean = false): (Double, DedupPipeline.Result) = {
     val t0 = System.nanoTime()
     val r = DedupPipeline.run(s, pages, DedupConfig())
     r.verifiedPairs.count(); r.clusters.count(); r.merged.count()
-    r.signatures.unpersist(); r.verifiedPairs.unpersist()
-    (System.nanoTime() - t0) / 1e9
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!keep) {
+      r.signatures.unpersist(); r.verifiedPairs.unpersist()
+      r.candidatePairs.unpersist()
+    }
+    (secs, r)
+  }
+
+  /** Dup-pair recall against the corpus's PLANTED truth (SyntheticPages
+    * groups of 20: members 0/18/19 are one duplicate cluster → 3 pairs per
+    * group) — the north rule's headline metric, measured end-to-end. */
+  private def plantedRecall(pages: DataFrame, ver: DataFrame): Double = {
+    import org.apache.spark.sql.functions._
+    val m = pages.select(col("url"),
+        regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("id"))
+      .withColumn("mm", col("id") % 20).where(col("mm").isin(0L, 18L, 19L))
+      .withColumn("g", col("id") - col("mm"))
+    val planted = m.as("a").join(m.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(least(col("a.url"), col("b.url")).as("url_a"),
+        greatest(col("a.url"), col("b.url")).as("url_b"))
+    val total = planted.count()
+    val found = planted.join(ver.select("url_a", "url_b"),
+      Seq("url_a", "url_b"), "left_semi").count()
+    if (total == 0) 1.0 else found.toDouble / total
   }
 
   private def sfPages(s: SparkSession, sfDir: String) =
@@ -56,8 +81,8 @@ object Bench {
     // ---- headline queries at the requested parallelism
     var s = session(cpus)
     val nDocs = s.read.parquet(s"$sfDir/documents.parquet").count()
-    val warmup = runPipeline(s, sfPages(s, sfDir)) // discard (JIT/codegen warm)
-    val tPipeline = runPipeline(s, sfPages(s, sfDir))
+    val (warmup, _) = runPipeline(s, sfPages(s, sfDir)) // discard (JIT/codegen warm)
+    val (tPipeline, _) = runPipeline(s, sfPages(s, sfDir))
     def docsDf: DataFrame = s.read.parquet(s"$sfDir/documents.parquet")
     val tVocab = time(graft.ops.TextStats.vocabCounts(docsDf).count())
     val tQuality = time(graft.ops.TextStats.qualityFeatures(docsDf).count())
@@ -90,9 +115,16 @@ object Bench {
     // estimator unbiased.
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     s = session(lo)
-    val tLo = Seq.fill(k)(runPipeline(s, pagesAt(s))).min
+    val tLo = Seq.fill(k)(runPipeline(s, pagesAt(s))._1).min
     s = session(hi)
-    val tHi = Seq.fill(k)(runPipeline(s, pagesAt(s))).min
+    // last hi-level run keeps its cached result for the recall measurement
+    val hiRuns = (1 until k).map(_ => runPipeline(s, pagesAt(s))._1)
+    val (tHiLast, rLast) = runPipeline(s, pagesAt(s), keep = true)
+    val tHi = (hiRuns :+ tHiLast).min
+    // dup-pair recall vs the planted truth (north-rule headline metric)
+    val recall = plantedRecall(pagesAt(s), rLast.verifiedPairs)
+    rLast.signatures.unpersist(); rLast.verifiedPairs.unpersist()
+    rLast.candidatePairs.unpersist()
     val dLo = scaleN / tLo
     val dHi = scaleN / tHi
     val eff = (dHi / dLo) / 4.0
@@ -107,7 +139,7 @@ object Bench {
     val qJson = queries.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = queries.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":${f"${nDocs / tPipeline}%.1f"},"scale_n":$scaleN,"scaling":{"cores_n":$lo,"cores_4n":$hi,"min_of_k":$k,"docs_per_sec_n":${f"$dLo%.1f"},"docs_per_sec_4n":${f"$dHi%.1f"},"wall_s_n":${f"$tLo%.3f"},"wall_s_4n":${f"$tHi%.3f"},"efficiency_n_to_4n":${f"$eff%.3f"}}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":${f"${nDocs / tPipeline}%.1f"},"scale_n":$scaleN,"dup_pair_recall":${f"$recall%.4f"},"scaling":{"cores_n":$lo,"cores_4n":$hi,"min_of_k":$k,"docs_per_sec_n":${f"$dLo%.1f"},"docs_per_sec_4n":${f"$dHi%.1f"},"wall_s_n":${f"$tLo%.3f"},"wall_s_4n":${f"$tHi%.3f"},"efficiency_n_to_4n":${f"$eff%.3f"}}}"""
     // stdout (unprefixed via run/outputStrategy := StdoutOutput) AND a
     // file, so a log-wrapping harness can always recover the JSON
     println(json)

@@ -41,6 +41,10 @@ object Profile {
       DedupStages.candidates(sigsP, cfg)._1.explain("formatted")
       println("=== verified (expect two shuffled hash joins on ids) ===")
       DedupStages.verified(DedupStages.candidates(sigsP, cfg)._1, sigsP, cfg).explain("formatted")
+      println("=== candidatesFromProbes over fused probeRows (the pipeline path) ===")
+      val pwP = DedupStages.withIds(pagesP)
+      DedupStages.candidatesFromProbes(DedupStages.probeRows(pwP, cfg),
+        DedupStages.leanSignatures(pwP, cfg), cfg)._1.explain("formatted")
       spark.stop(); return
     }
 

@@ -35,6 +35,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop join in candidate plan")
   }
 
+  test("verify stage shingles only pair participants: semi-join sits below the shingle projection") {
+    val pw = DedupStages.withIds(parquetPages).cache()
+    val sigs = DedupStages.leanSignatures(pw, cfg)
+    val (pairs, _) = DedupStages.candidatesFromProbes(
+      DedupStages.probeRows(pw, cfg), sigs, cfg)
+    val side = sigs.select("doc_id", "url", "source", "lang")
+      .join(pw.select("doc_id", "text"), "doc_id")
+    val ver = DedupStages.verified(pairs.cache(), side, cfg)
+    val plan = ver.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("LeftSemi"),
+      "pair-participant semi-join missing — the verify stage would re-shingle the full corpus")
+  }
+
   test("exact channel emits a star, not O(m^2) pairs") {
     import spark.implicits._
     // 50 identical docs -> 49 star edges

@@ -106,4 +106,51 @@ class NormalizeSpec extends AnyFunSuite {
     assert(extractYear("published 1987 in Prague").contains("1987"))
     assert(extractYear("c. -1200 bce").contains("-1200"))
   }
+
+  test("stripLeadingArticle: case-insensitive first match wins, break after one") {
+    assert(stripLeadingArticle("The Title") == "Title")
+    assert(stripLeadingArticle("THE TITLE") == "TITLE")
+    assert(stripLeadingArticle("an apple") == "apple")       // 'a ' must NOT match 'an'
+    assert(stripLeadingArticle("a night") == "night")
+    assert(stripLeadingArticle("Der Process") == "Process")
+    assert(stripLeadingArticle("Another word") == "Another word") // no space after 'an'
+    assert(stripLeadingArticle("the") == "the")               // shorter than 'the '
+    // only ONE article stripped (reference breaks)
+    assert(stripLeadingArticle("the la mer") == "la mer")
+  }
+
+  test("validateISO8601Date: strict shape + real calendar") {
+    assert(validateISO8601Date("2024-01-15T10:30:00Z"))
+    assert(validateISO8601Date("2024-02-29T00:00:00Z"))    // leap day
+    assert(!validateISO8601Date("2023-02-29T00:00:00Z"))   // not a leap year
+    assert(!validateISO8601Date("2024-02-30T10:00:00Z"))   // no Feb 30
+    assert(!validateISO8601Date("2024-13-01T00:00:00Z"))   // no month 13
+    assert(!validateISO8601Date("2024-01-15 10:30:00"))    // wrong shape
+    assert(!validateISO8601Date("2024-01-15T10:30:00"))    // missing Z
+    assert(!validateISO8601Date("2024-01-15T24:00:00Z"))   // hour 24
+  }
+
+  test("convertDateRange: floor-days pair, clamped") {
+    assert(convertDateRange("1970-01-01,1970-01-02") == "0 1")
+    assert(convertDateRange("1969-12-31,1970-01-01") == "-1 0")
+    assert(convertDateRange("2024-01-01,2024-03-10") == "19723 19792")
+    // clamps: start below -4371587 raised, end above 2932896 lowered
+    assert(convertDateRange("-9999-01-01,9999-12-31").startsWith("-4371587 "))
+    assert(convertDateRange("1970-01-01,9999-12-31").endsWith(" 2932896"))
+  }
+
+  test("trimXMLWhitespace: whitespace between tags stripped, data whitespace preserved") {
+    assert(trimXMLWhitespace("<r> <a>x y</a>  <b>z</b> </r>") == "<r><a>x y</a><b>z</b></r>")
+    // element content with EDGE whitespace is data: the whole-element
+    // alternative protects it (backreference \2)
+    assert(trimXMLWhitespace("<t> hello </t>") == "<t> hello </t>")
+    assert(trimXMLWhitespace("  <empty/>  ") == "<empty/>")
+  }
+
+  test("ucFirst: mb-aware first-codepoint uppercase") {
+    assert(ucFirst("title") == "Title")
+    assert(ucFirst("éclair") == "Éclair")
+    assert(ucFirst("") == "")
+    assert(ucFirst("a") == "A")
+  }
 }
