@@ -381,6 +381,11 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(embeddings(s, dir))),
 
+    // IVF ANN: deterministic coarse quantizer, nProbe-cell search, exact
+    // in-cell rerank — the inverted-file scale path next to the SRP one
+    "q_knn_ivf" -> ((s, dir) =>
+      Similarity.knnIvf(embeddings(s, dir))),
+
     "q_embedding_dims" -> ((s, dir) =>
       embeddings(s, dir).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"), col("label"))),
@@ -707,6 +712,26 @@ object SparkEntry {
 
     "q_embedding_dims" ->
       "SELECT vec_id, len(embedding) AS dim, label FROM embeddings",
+
+    "q_knn_ivf" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM base ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT b.vec_id, b.v, c.cent_id,
+        |  row_number() OVER (PARTITION BY b.vec_id
+        |    ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cent_id) AS rk
+        |  FROM base b CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, v, cent_id AS cell FROM asg WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM asg
+        |  WHERE vec_id < 20 AND rk <= 4),
+        |scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+        |  max(list_cosine_similarity(q.qv, a.v)) AS sim
+        |  FROM q JOIN assigned a USING (cell) WHERE a.vec_id <> q.query_id
+        |  GROUP BY q.query_id, a.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     "q_lang_id" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),

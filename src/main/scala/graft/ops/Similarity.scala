@@ -128,6 +128,46 @@ object Similarity {
       .distinct()
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (nCentroids seed
+    * vectors, min-id choice) partitions the corpus into cells with ONE
+    * broadcast argmin pass — O(n·nCentroids) dots, no shuffle of vectors;
+    * queries probe their nProbe nearest cells and exact-rerank inside
+    * them. The inverted-file layout is the classic embedding scale path:
+    * cell assignment is a partition key, so at 100 TB each cell is a
+    * co-located partition and a query touches nProbe/nCentroids of the
+    * corpus. Recall grows with nProbe (nProbe = nCentroids ≡ brute force). */
+  def knnIvf(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
+             nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // deterministic coarse centroids: the nCentroids smallest vec_ids
+    // (stand-in for a k-means fit — the assignment/probing plumbing is
+    // identical and fully deterministic for the oracle). The quantizer is
+    // tiny model state: collected once, shipped as a literal, so cell
+    // assignment is a pure map-side expression — zero shuffle.
+    val cent = base.orderBy("vec_id").limit(nCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val cvs = typedLit(cent.map(_._2))
+    val cids = typedLit(cent.map(_._1))
+    val scoredCells = array_sort(transform(sequence(lit(0), lit(cent.size - 1)), i =>
+      struct((-cosine(col("v"), element_at(cvs, i + 1))).as("d"),
+        element_at(cids, i + 1).as("cent_id"))))
+    val assigned = base.withColumn("cell",
+      scoredCells.getItem(0).getField("cent_id"))
+    val queries = base.where(col("vec_id") < nQueries)
+      .withColumn("cell", explode(transform(slice(scoredCells, 1, nProbe),
+        s => s.getField("cent_id"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val scored = assigned.join(queries, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   /** ANN: exact rerank within shared SRP bands — candidate generation is
     * a multi-band bucket equi-join (shuffle on small keys) instead of a
     * cross join. Recall 1-(1-p)^bands per neighbor; raise `bands` or

@@ -39,6 +39,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == 1L)
   }
 
+  test("knnIvf: exact copy lands in the anchor's cell and ranks 1") {
+    val got = Similarity.knnIvf(emb, nQueries = 1, k = 3, nCentroids = 8, nProbe = 2)
+      .where(col("query_id") === 0 && col("rank") === 1)
+      .select("neighbor_id").head().getLong(0)
+    assert(got == 1L)
+  }
+
   test("multi-band SRP recall: >=99% of true cosine>=0.95 pairs survive the OR-of-bands generator (2k vectors)") {
     // 200 planted near-dup pairs (anchor + small jitter) + 1600 random
     val rnd = new scala.util.Random(17)
