@@ -278,6 +278,23 @@ object SparkEntry {
     "q_clusters" -> ((s, dir) =>
       pipe(s, dir).clusters.select("url", "cluster_id")),
 
+    // incremental == cold-run equivalence, ORACLE-CHECKED: dedup 2/3 of
+    // the snapshot, then fold the remaining third in through the
+    // incremental pass (stored probe index, dirty-only rescan) — the
+    // resulting clusters must equal DuckDB's exact connected components
+    // over the FULL snapshot (same oracle as q_clusters)
+    "q_incremental_clusters" -> ((s, dir) => {
+      import graft.pipeline.IncrementalDedup
+      val pgs = pages(s, dir)
+      val v1 = pgs.where(
+        regexp_extract(col("url"), "(\\d+)$", 1).cast("long") % 3 =!= 0)
+      val full1 = DedupPipeline.run(s, v1, cfg)
+      val prev = IncrementalDedup.PrevState(
+        full1.signatures, full1.probes, full1.verifiedPairs)
+      IncrementalDedup.run(s, prev, pgs, cfg).clusters
+        .select("url", "cluster_id")
+    }),
+
     // reference-gated verification: lang equality (format gate,
     // classes/RecordManager.php:1489-1497) + cross-source only
     // (classes/RecordManager.php:1346)
@@ -627,6 +644,17 @@ object SparkEntry {
          |  AND same_lang AND cross_src""".stripMargin,
 
     "q_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |e AS (SELECT url_a AS u, url_b AS v FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}
+         |   OR i * 1.0 / mn >= ${cfg.containmentThreshold}),
+         |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         |reach(a, b) AS (SELECT u, v FROM sym
+         |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u WHERE r.a <> s.v)
+         |SELECT a AS url, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+    // incremental fold must land on the same exact components as DuckDB's
+    // cold full-snapshot clustering
+    "q_incremental_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
          |e AS (SELECT url_a AS u, url_b AS v FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}
          |   OR i * 1.0 / mn >= ${cfg.containmentThreshold}),
