@@ -520,7 +520,25 @@ object SparkEntry {
     "q_projection_dsl" -> ((s, dir) =>
       ProjectionDsl.project(pages(s, dir),
         "u=url; host=url:host; norm=text:normalize; lang_u=lang:upper; " +
-          "text_len=text:len; first40=text:substr:40"))
+          "text_len=text:len; first40=text:substr:40")),
+
+    // wide index-document projection — the toSolrArray analog
+    // (classes/SolrUpdater.php:1030-1160): every index field synthesized
+    // in ONE scan-side projection (id, host, sort key, title key,
+    // allfields, facets, content hash, token count, lang)
+    "q_index_doc" -> ((s, dir) =>
+      pages(s, dir).select(
+        col("url").as("id"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
+        regexp_extract(col("url"), "(\\d+)$", 1).as("id_sort_key"),
+        titleKey(col("text")).as("title_key"),
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+          .as("allfields"),
+        concat(lit("0/"), col("source"), lit("/|1/"), col("source"),
+          lit("/"), col("lang"), lit("/")).as("facets"),
+        md5(col("text")).as("content_hash"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("lang")))
   )
 
   // ---------------------------------------------------------------------
@@ -853,6 +871,28 @@ object SparkEntry {
       s"""SELECT $urlSql AS u, source || '.example.com' AS host,
          |${normSql.format("text")} AS norm, upper(lang) AS lang_u,
          |length(text) AS text_len, substr(text, 1, 40) AS first40
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "q_index_doc" ->
+      s"""WITH tk AS (
+         |  WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |  p AS (SELECT doc_id, w, i, length(w[i]) AS wl FROM d, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |  s AS (SELECT doc_id, w, i,
+         |    sum(wl) OVER (PARTITION BY doc_id ORDER BY i) AS keylen,
+         |    sum(CASE WHEN wl > 3 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i) AS longw
+         |    FROM p),
+         |  c AS (SELECT doc_id, coalesce(min(CASE WHEN longw > 3 OR keylen > 35 THEN i END), max(i)) AS ci
+         |    FROM s GROUP BY doc_id)
+         |  SELECT d.doc_id, ${normSql.format("array_to_string(d.w[1:c.ci], '')")} AS title_key
+         |  FROM d JOIN c ON d.doc_id = c.doc_id)
+         |SELECT $urlSql AS id, source || '.example.com' AS host,
+         |  CAST(doc_id AS VARCHAR) AS id_sort_key,
+         |  tk.title_key,
+         |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS allfields,
+         |  '0/' || source || '/|1/' || source || '/' || lang || '/' AS facets,
+         |  md5(text) AS content_hash,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  lang
+         |FROM documents JOIN tk USING (doc_id)""".stripMargin
   )
 }
