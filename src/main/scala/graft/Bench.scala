@@ -99,6 +99,21 @@ object Bench {
       DedupStages.exactCandidates(p).count()
     }
 
+    // ---- partial result hedge: if the harness kills the (long) scaling
+    // phase below, the LAST complete JSON line it captured still carries
+    // the headline metrics; the final line at the end supersedes this one
+    val queriesHeadline = Seq(
+      "pipeline_full" -> tPipeline, "pipeline_warmup" -> warmup,
+      "vocab_counts" -> tVocab, "quality_features" -> tQuality,
+      "knn_brute" -> tKnn, "exact_candidates" -> tExact)
+    def qJsonOf(qs: Seq[(String, Double)]) =
+      qs.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val partial =
+      s"""{"metric":"total","value":${f"${queriesHeadline.map(_._2).sum}%.3f"},"unit":"sec","queries":${qJsonOf(queriesHeadline)},"sf":"$sfDir","docs":$nDocs,"docs_per_sec":${f"${nDocs / tPipeline}%.1f"},"scaling":"in-progress (see BENCH.md)"}"""
+    println(partial)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), partial + "\n")
+
     // ---- scaling evidence: same job, local[8] vs local[32], on a
     // distributed deterministic corpus big enough that compute (MinHash,
     // band joins, verify) dominates fixed stage-scheduling overhead —
@@ -138,22 +153,13 @@ object Bench {
     val dHi = scaleN / tHi
     val eff = (dHi / dLo) / 4.0
 
-    val queries = Seq(
-      "pipeline_full" -> tPipeline,
-      "pipeline_warmup" -> warmup,
-      "vocab_counts" -> tVocab,
-      "quality_features" -> tQuality,
-      "knn_brute" -> tKnn,
-      "exact_candidates" -> tExact)
-    val qJson = queries.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val total = queries.map(_._2).sum
+    val total = queriesHeadline.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":${f"${nDocs / tPipeline}%.1f"},"scale_n":$scaleN,"dup_pair_recall":${f"$recall%.4f"},"scaling":{"cores_n":$lo,"cores_4n":$hi,"min_of_k":$k,"docs_per_sec_n":${f"$dLo%.1f"},"docs_per_sec_4n":${f"$dHi%.1f"},"wall_s_n":${f"$tLo%.3f"},"wall_s_4n":${f"$tHi%.3f"},"efficiency_n_to_4n":${f"$eff%.3f"}}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qJsonOf(queriesHeadline)},"sf":"$sfDir","docs":$nDocs,"docs_per_sec":${f"${nDocs / tPipeline}%.1f"},"scale_n":$scaleN,"dup_pair_recall":${f"$recall%.4f"},"scaling":{"cores_n":$lo,"cores_4n":$hi,"min_of_k":$k,"docs_per_sec_n":${f"$dLo%.1f"},"docs_per_sec_4n":${f"$dHi%.1f"},"wall_s_n":${f"$tLo%.3f"},"wall_s_4n":${f"$tHi%.3f"},"efficiency_n_to_4n":${f"$eff%.3f"}}}"""
     // stdout (unprefixed via run/outputStrategy := StdoutOutput) AND a
     // file, so a log-wrapping harness can always recover the JSON
     println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), json + "\n")
     s.stop()
     // the staged corpus is ~620 MB of /tmp per run — clean it up
     import scala.jdk.CollectionConverters._
