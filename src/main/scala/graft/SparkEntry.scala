@@ -253,7 +253,11 @@ object SparkEntry {
     // stage_metrics table; the deterministic (stage, rows) totals are the
     // queryable surface (wall_ms/partition rows live in the table)
     "q_stage_metrics" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-metrics-q").toString
+      // ONE stable root per sfDir (not a fresh temp dir per invocation —
+      // that leaked a full corpus copy per Verify run); the checkpoint
+      // layer itself overwrites/reuses stages under it
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-metrics-q-${Integer.toHexString(dir.hashCode)}").toString
       DedupPipeline.run(s, pages(s, dir), cfg, Some(root))
       graft.io.TableIO.read(s, root, "stage_metrics")
         .where(col("partition_id") === -1)
@@ -696,7 +700,7 @@ object SparkEntry {
          |  FROM m GROUP BY cluster_id, lower(lang)),
          |lgs AS (SELECT cluster_id, array_to_string(list(l ORDER BY u), ',') AS langs FROM lg GROUP BY cluster_id),
          |st AS (SELECT cluster_id, count(*) AS size,
-         |  array_to_string(list_sort(list(url)), ',') AS members,
+         |  array_to_string(list_sort(list(url))[1:1000], ',') AS members,
          |  max(CASE WHEN rn = 1 THEN url END) AS rep_url,
          |  arg_min(lang, url) AS first_lang,
          |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources

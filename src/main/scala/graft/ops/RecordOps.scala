@@ -48,14 +48,21 @@ object RecordOps {
         .when(col("warc_ts").isNull, "missing_ts")
         .otherwise("ok").as("check"))
 
-  /** Empty-value scrub over a string array: drop null and '' — the string
-    * '0' is PHP-empty but survives via the reference's explicit
-    * keep-0/0.0/'0' exception. */
+  /** Empty-value scrub over a string array: drop null and ''. For string
+    * values this single predicate IS the reference's full rule — PHP-empty
+    * strings are exactly {null, '', '0'} and the reference's explicit
+    * keep-0/0.0/'0' exception re-admits '0', leaving only null and ''
+    * dropped. */
   def scrubEmpty(arr: Column): Column =
-    filter(arr, v => v.isNotNull && (v =!= lit("") || v === lit("0")))
+    filter(arr, v => v.isNotNull && v =!= lit(""))
 
   /** Export XPath filter: keep pages whose html satisfies the XPath 1.0
-    * boolean expression. */
-  def xpathFilter(pages: DataFrame, xpath: String): DataFrame =
-    pages.where(expr(s"xpath_boolean(CAST(html AS STRING), '$xpath')"))
+    * boolean expression. The xpath rides as a bound string literal with
+    * quotes escaped — `contains(//body, 'dup')` style expressions (single
+    * quotes are standard XPath syntax) parse fine and nothing from the
+    * config string can escape into the SQL. */
+  def xpathFilter(pages: DataFrame, xpath: String): DataFrame = {
+    val quoted = xpath.replace("\\", "\\\\").replace("'", "\\'")
+    pages.where(expr(s"xpath_boolean(CAST(html AS STRING), '$quoted')"))
+  }
 }

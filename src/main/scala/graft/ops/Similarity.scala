@@ -68,17 +68,23 @@ object Similarity {
     * whole-stage codegen and nothing is collected on the driver. */
   def srpBands(emb: DataFrame, bands: Int, bitsPerBand: Int,
                seed: Long): DataFrame = {
-    // Planes are generated once at a fixed max dim and SLICED to the
-    // vector's length per row (zip_with pads the shorter side with nulls,
-    // which would null the whole dot product) — no driver-side dim probe,
-    // the builder stays a pure, action-free plan.
+    // Planes are generated once at a fixed max dim; BOTH sides of the dot
+    // product are sliced to min(dim, maxDim) per row (zip_with pads the
+    // shorter side with nulls, which would null the whole dot product and
+    // silently collapse every key to 0) — no driver-side dim probe, the
+    // builder stays a pure, action-free plan. Vectors wider than maxDim
+    // are bucketed on their first maxDim coordinates: still a valid
+    // random-hyperplane family (a fixed subspace projection), identical
+    // vectors still collide in every band, and the exact-cosine verifier
+    // downstream uses the FULL vectors.
     val maxDim = 512
     val planes = typedLit(hyperplanes(bands * bitsPerBand, maxDim, seed))
+    val d = least(size(col("v")), lit(maxDim))
     // per band: fold its bits most-significant-first (acc*2 + signbit)
     val keys = transform(sequence(lit(0), lit(bands - 1)), b =>
       aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L), (acc, i) => {
-        val plane = slice(element_at(planes, b * bitsPerBand + i + 1), lit(1), size(col("v")))
-        acc * 2 + when(dot(col("v"), plane) >= 0, 1L).otherwise(0L)
+        val plane = slice(element_at(planes, b * bitsPerBand + i + 1), lit(1), d)
+        acc * 2 + when(dot(slice(col("v"), lit(1), d), plane) >= 0, 1L).otherwise(0L)
       }))
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id"), col("v"), posexplode(keys).as(Seq("band_id", "band_key")))
@@ -96,8 +102,12 @@ object Similarity {
     * codes — see class doc for the recall math), exact cosine >= threshold
     * as the verifier. Canonical (id_a < id_b). Buckets above `bucketCap`
     * members are skew-guarded: only the min-id member is paired with the
-    * rest (star expansion — O(m) pairs instead of O(m²); the verifier and
-    * connected components restore the full cluster). */
+    * rest (star expansion — O(m) pairs instead of O(m²)). NOTE the star
+    * output is star-CONNECTED, not the complete pair list: above the cap
+    * this function's pairs are sufficient to recover the duplicate
+    * GROUPS (see `cosineDupClusters`) but are not every individual pair —
+    * the same bounded-salvage semantics as the text pipeline's over-cap
+    * buckets (and the reference's 1000-candidate cap). */
   def cosineDupPairs(emb: DataFrame, threshold: Double, bands: Int = 16,
                      bitsPerBand: Int = 8, seed: Long = 42L,
                      bucketCap: Int = 10000): DataFrame = {
@@ -128,6 +138,16 @@ object Similarity {
       .distinct()
   }
 
+  /** Embedding duplicate GROUPS: connected components over the (possibly
+    * star-salvaged) dup pairs — complete group membership even when a
+    * degenerate bucket exceeded the cap. Returns (vec_id, component). */
+  def cosineDupClusters(emb: DataFrame, threshold: Double, bands: Int = 16,
+                        bitsPerBand: Int = 8, seed: Long = 42L,
+                        bucketCap: Int = 10000): DataFrame =
+    graft.pipeline.ConnectedComponents.run(
+      cosineDupPairs(emb, threshold, bands, bitsPerBand, seed, bucketCap))
+      .select(col("vertex").as("vec_id"), col("component"))
+
   /** IVF-style ANN: a deterministic coarse quantizer (nCentroids seed
     * vectors, min-id choice) partitions the corpus into cells with ONE
     * broadcast argmin pass — O(n·nCentroids) dots, no shuffle of vectors;
@@ -139,6 +159,9 @@ object Similarity {
   def knnIvf(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    if (base.isEmpty) // empty quantizer would build sequence(0,-1) = [0,-1]
+      return base.select(col("vec_id").as("query_id"), lit(0L).as("rank"),
+        col("vec_id").as("neighbor_id"))
     // deterministic coarse centroids: the nCentroids smallest vec_ids
     // (stand-in for a k-means fit — the assignment/probing plumbing is
     // identical and fully deterministic for the oracle). The quantizer is

@@ -78,8 +78,10 @@ object IncrementalDedup {
     val deltaPw = pw.join(deltaIds, Seq("doc_id"), "left_semi")
 
     // probe rows: freshly computed for DIRTY docs only; unchanged docs'
-    // probes come from the stored index (narrow fixed-width rows, no text)
-    val deltaProbes = freshProbes(deltaPw, cfg)
+    // probes come from the stored index (narrow fixed-width rows, no text).
+    // Pinned: consumed three times (dirtyBuckets, probeSub, probesAll) and
+    // small (O(dirty) rows)
+    val deltaProbes = freshProbes(deltaPw, cfg).cache()
     val unchangedProbes = prev.probes
       .join(unchangedSigs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("channel", "bucket_key", "doc_id", "tag")
@@ -94,8 +96,11 @@ object IncrementalDedup {
     val dirtyHashes = sigs.join(deltaIds, Seq("doc_id"), "left_semi")
       .select("content_hash").distinct()
     val sigsForExact = sigs.join(dirtyHashes, Seq("content_hash"), "left_semi")
-    val (deltaPairs, dropped) =
+    val (deltaPairs0, dropped) =
       DedupStages.candidatesFromProbes(probeSub, sigsForExact, cfg)
+    // tiny pair table, whole candidate-generation plan behind it: pin it
+    // so verified()'s two consumers don't re-run candidate generation
+    val deltaPairs = deltaPairs0.cache()
     val deltaVerified = DedupStages.verified(deltaPairs, pw, cfg)
 
     // carry over previous pairs whose BOTH endpoints are unchanged urls

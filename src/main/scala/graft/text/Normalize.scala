@@ -264,11 +264,18 @@ object Normalize {
   def convertDateRange(range: String): String = {
     if (range == null) return null
     val parts = range.split(",", 2)
-    def days(s: String): Long =
-      java.time.LocalDate.parse(s.trim).toEpochDay
-    val start = math.max(days(parts(0)), -4371587L)
-    val end = math.min(days(parts(1)), 2932896L)
-    s"$start $end"
+    if (parts.length < 2) return null
+    try {
+      def days(s: String): Long =
+        java.time.LocalDate.parse(s.trim).toEpochDay
+      val start = math.max(days(parts(0)), -4371587L)
+      val end = math.min(days(parts(1)), 2932896L)
+      s"$start $end"
+    } catch {
+      // reference strtotime returns false on garbage; a malformed record
+      // yields null instead of killing the task
+      case _: java.time.format.DateTimeParseException => null
+    }
   }
 
   /** Reference `trimXMLWhitespace` (classes/MetadataUtils.php:372-375):
@@ -284,7 +291,9 @@ object Normalize {
     if (s == null || s.isEmpty) s
     else {
       val n = Character.charCount(s.codePointAt(0))
-      s.substring(0, n).toUpperCase + s.substring(n)
+      // Locale.ROOT: host locale must not leak in (tr-TR would turn
+      // 'i' into dotted 'İ')
+      s.substring(0, n).toUpperCase(java.util.Locale.ROOT) + s.substring(n)
     }
 
   /** Reference `createIdSortKey` (classes/MetadataUtils.php:308-314):

@@ -59,5 +59,10 @@ class RecordOpsSpec extends AnyFunSuite {
     val got = RecordOps.xpathFilter(pages, """contains(//body, "dup")""")
       .select("url").collect().map(_.getString(0)).toSet
     assert(got == Set("https://a/1"))
+    // single-quoted XPath string literals (standard XPath syntax) must
+    // not break the SQL the expression is embedded in
+    val gotSq = RecordOps.xpathFilter(pages, "contains(//body, 'delta')")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(gotSq == Set("https://a/2"))
   }
 }

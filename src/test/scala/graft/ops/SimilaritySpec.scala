@@ -39,6 +39,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == 1L)
   }
 
+  test("srpBands handles dim > 512 (plane padding must not null the dot product)") {
+    val rnd = new scala.util.Random(5)
+    val wide = Array.fill(600)(rnd.nextFloat() * 2 - 1)
+    val df = (Seq(0L -> wide, 1L -> wide.clone()) ++
+      (2L until 30L).map(i => i -> Array.fill(600)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // keys must be non-degenerate: the 28 random vectors shouldn't all
+    // share one bucket (the dim>512 bug collapsed every key to 0)
+    val distinctKeys = Similarity.srpBucket(df, nBits = 8)
+      .select("bucket").distinct().count()
+    assert(distinctKeys > 5, s"degenerate SRP keys: $distinctKeys distinct")
+    val got = Similarity.cosineDupPairs(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+  }
+
+  test("cosineDupClusters: over-cap star salvage still yields complete duplicate groups") {
+    val rnd = new scala.util.Random(9)
+    val basev = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    // 30 identical vectors + noise; cap=5 forces the star path
+    val df = ((0L until 30L).map(i => i -> basev.clone()) ++
+      (30L until 80L).map(i => i -> Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val comp = Similarity.cosineDupClusters(df, threshold = 0.95, bucketCap = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 30L).forall(comp.contains), "every copy must be grouped")
+    assert((0L until 30L).map(comp).toSet.size == 1, "…into ONE component")
+  }
+
   test("knnIvf: exact copy lands in the anchor's cell and ranks 1") {
     val got = Similarity.knnIvf(emb, nQueries = 1, k = 3, nCentroids = 8, nProbe = 2)
       .where(col("query_id") === 0 && col("rank") === 1)

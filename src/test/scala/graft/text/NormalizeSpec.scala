@@ -137,6 +137,10 @@ class NormalizeSpec extends AnyFunSuite {
     // clamps: start below -4371587 raised, end above 2932896 lowered
     assert(convertDateRange("-9999-01-01,9999-12-31").startsWith("-4371587 "))
     assert(convertDateRange("1970-01-01,9999-12-31").endsWith(" 2932896"))
+    // malformed input must not throw (one bad record can't kill a task)
+    assert(convertDateRange("2024-01-15") == null)       // no comma
+    assert(convertDateRange("garbage,2024-01-01") == null)
+    assert(convertDateRange(null) == null)
   }
 
   test("trimXMLWhitespace: whitespace between tags stripped, data whitespace preserved") {
