@@ -138,17 +138,29 @@ object Bench {
     // ratio upward on a noisy host — same k on both sides keeps the
     // estimator unbiased.
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-    s = session(lo)
-    val tLo = Seq.fill(k)(runPipeline(s, pagesAt(s))._1).min
-    s = session(hi)
-    // last hi-level run keeps its cached result for the recall measurement
-    val hiRuns = (1 until k).map(_ => runPipeline(s, pagesAt(s))._1)
-    val (tHiLast, rLast) = runPipeline(s, pagesAt(s), keep = true)
-    val tHi = (hiRuns :+ tHiLast).min
+    // INTERLEAVED lo/hi rounds (lo,hi,lo,hi …): a multi-minute foreign-load
+    // spike on this multi-tenant host then degrades one sample of EACH
+    // level instead of both samples of one level — the min-of-k ratio is
+    // far less likely to be skewed by a single noisy phase (measured
+    // efficiency spread 0.65–0.81 with phase-grouped runs at 1.4M docs)
+    val loRuns = scala.collection.mutable.ListBuffer.empty[Double]
+    val hiRuns = scala.collection.mutable.ListBuffer.empty[Double]
+    var last: DedupPipeline.Result = null
+    for (rep <- 1 to k) {
+      s = session(lo)
+      loRuns += runPipeline(s, pagesAt(s))._1
+      s = session(hi)
+      val keep = rep == k // last hi run keeps its cache for the recall pass
+      val (t, r) = runPipeline(s, pagesAt(s), keep = keep)
+      hiRuns += t
+      if (keep) last = r
+    }
+    val tLo = loRuns.min
+    val tHi = hiRuns.min
     // dup-pair recall vs the planted truth (north-rule headline metric)
-    val recall = plantedRecall(pagesAt(s), rLast.verifiedPairs)
-    rLast.signatures.unpersist(); rLast.verifiedPairs.unpersist()
-    rLast.candidatePairs.unpersist()
+    val recall = plantedRecall(pagesAt(s), last.verifiedPairs)
+    last.signatures.unpersist(); last.verifiedPairs.unpersist()
+    last.candidatePairs.unpersist()
     val dLo = scaleN / tLo
     val dHi = scaleN / tHi
     val eff = (dHi / dLo) / 4.0
