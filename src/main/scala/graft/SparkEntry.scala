@@ -46,17 +46,30 @@ object SparkEntry {
     DedupStages.pagesFromDocuments(docs(s, dir))
 
   /** One pipeline run per (session, sfDir), cached — several queries
-    * expose different stages of the same run. */
+    * expose different stages of the same run. Keyed WEAKLY on the session
+    * object itself (not an identity hash, which a later session could
+    * collide with): when a session is GC'd its entry — and the blocks its
+    * cached DataFrames pinned, which die with the session — goes with it. */
   private val pipelineCache =
-    new scala.collection.concurrent.TrieMap[(Int, String), DedupPipeline.Result]()
-  private def pipe(s: SparkSession, dir: String): DedupPipeline.Result =
-    pipelineCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DedupPipeline.Result]]()
+  private def pipe(s: SparkSession, dir: String): DedupPipeline.Result = {
+    val per = pipelineCache.synchronized {
+      var m = pipelineCache.get(s)
+      if (m == null) {
+        m = new scala.collection.concurrent.TrieMap[String, DedupPipeline.Result]()
+        pipelineCache.put(s, m)
+      }
+      m
+    }
+    per.getOrElseUpdate(dir, {
       val r = DedupPipeline.run(s, pages(s, dir), cfg)
       DedupPipeline.Result(
         r.signatures.cache(), r.probes, r.candidatePairs.cache(),
         r.droppedBuckets.cache(), r.verifiedPairs.cache(), r.clusters.cache(),
         r.merged.cache())
     })
+  }
 
   /** Flagship: the full dedup pipeline end-to-end on sf0.001 — returns
     * per-stage row counts (always non-empty; exercises every stage). */
@@ -245,8 +258,42 @@ object SparkEntry {
           array_join(col("channels"), ",").as("channels"))
     }),
 
-    "q_dropped_buckets" -> ((s, dir) =>
-      pipe(s, dir).droppedBuckets.select("channel", "bucket_key", "bucket_n")),
+    // skew-guard log, NON-VACUOUS: 20 extra identical copies of doc 0
+    // push every one of its LSH band / simhash chunk / anchor buckets over
+    // a tightened cap, so the driver sees real dropped rows from the
+    // actual probe pipeline (reference analog of the too-many-candidates
+    // log, classes/RecordManager.php:1402-1410). Bucket keys are xxhash64
+    // packings, so this is a rows-only check; the fully-SQL-oracled
+    // variant is q_dropped_log below.
+    "q_dropped_buckets" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "lang", "source")
+      val hot = d.where(col("doc_id") === 0)
+        .withColumn("k", explode(sequence(lit(1), lit(20))))
+        .select((col("k") * 1000 + 500000).as("doc_id"),
+          col("text"), col("lang"), col("source"))
+      val pw = DedupStages.withIds(
+        DedupStages.pagesFromDocuments(d.unionByName(hot)))
+      val capped = cfg.copy(bucketCap = 8)
+      val (_, dropped) = DedupStages.candidatesFromProbes(
+        DedupStages.probeRows(pw, capped),
+        DedupStages.leanSignatures(pw, capped), capped)
+      dropped.select("channel", "bucket_key", "bucket_n")
+    }),
+
+    // dropped-bucket log with a FULL DuckDB oracle: the same
+    // candidatesFromProbes skew guard, fed a probe table whose bucket key
+    // (first letter of source) both engines can compute — the count
+    // classification + dropped filter exercised end-to-end is the real
+    // operator, only the key family is oracle-friendly
+    "q_dropped_log" -> ((s, dir) => {
+      val probes = docs(s, dir).select(
+        lit("grp").as("channel"),
+        ascii(substring(col("source"), 1, 1)).cast("long").as("bucket_key"),
+        col("doc_id"), lit(0L).as("tag"))
+      val (_, dropped) = DedupStages.candidatesFromProbes(
+        probes, docs(s, dir), cfg.copy(bucketCap = 40, exactChannel = false))
+      dropped.select(col("channel"), col("bucket_key"), col("bucket_n"))
+    }),
 
     // per-stage lineage/metrics (north rule; reference analog
     // classes/PerformanceCounter.php:40-97): a checkpointed run commits a
@@ -478,6 +525,65 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         concat(upper(substring(col("source"), 1, 1)),
           col("source").substr(lit(2), length(col("source")))).as("ucfirst"))),
+
+    // stripTrailingPunctuation (classes/MetadataUtils.php:227-246):
+    // rtrim the punctuation set, then strip one final '.' unless it
+    // terminates a space-preceded initial ("Smith, A.") — mirrored
+    // column-for-column from Normalize.stripTrailingPunctuation
+    "q_strip_trailing" -> ((s, dir) => {
+      val m4 = col("doc_id") % 4
+      val suffix = when(m4 === 0, " /:;,").when(m4 === 1, ".")
+        .when(m4 === 2, " A.").otherwise(" ([")
+      val t = rtrim(concat(col("text"), suffix), " /:;,=([")
+      val keepInitial = (length(t) >= 3) &&
+        (t.substr(length(t) - lit(2), lit(1)) === " ")
+      docs(s, dir).select(col("doc_id"),
+        when(t.endsWith(".") && !keepInitial, t.substr(lit(1), length(t) - 1))
+          .otherwise(t).as("stripped"))
+    }),
+
+    // stripLeadingPunctuation (classes/MetadataUtils.php:256-259)
+    "q_strip_leading" -> ((s, dir) => {
+      val m4 = col("doc_id") % 4
+      val prefix = when(m4 === 0, "#! ").when(m4 === 1, "..?")
+        .when(m4 === 2, "'\"(").otherwise(lit(""))
+      docs(s, dir).select(col("doc_id"),
+        ltrim(concat(prefix, col("text")), " #!?/:;.,=(['\"").as("stripped"))
+    }),
+
+    // extractYear (classes/MetadataUtils.php:416-422): first optionally
+    // negative 4-digit run; '' when absent (both engines' regexp_extract)
+    "q_extract_year" -> ((s, dir) => {
+      val m3 = col("doc_id") % 3
+      val in = when(m3 === 0,
+          concat(lit("year "), (lit(1900) + col("doc_id") % 120).cast("string"), lit(" ed.")))
+        .when(m3 === 1,
+          concat(lit("circa -"), lpad((col("doc_id") % 9000 + 1000).cast("string"), 4, "0"), lit(" bc")))
+        .otherwise(lit("no digits here"))
+      docs(s, dir).select(col("doc_id"),
+        regexp_extract(in, "(-?\\d{4})", 1).as("yr"))
+    }),
+
+    // normalizeUnicode = NFKC (classes/MetadataUtils.php:449-463,
+    // conf/recordmanager.ini.sample:43): the JVM contract as a UDF (no
+    // Catalyst NFKC builtin); oracle states the expected foldings as
+    // literals (ﬁ→fi, fullwidth→ASCII, ①→1, combining é→composed)
+    "q_nfkc" -> ((s, dir) => {
+      val nf = udf((x: String) => Normalize.normalizeUnicode(x))
+      val m4 = col("doc_id") % 4
+      val in = concat(
+        when(m4 === 0, "\uFB01le").when(m4 === 1, "\uFF21\uFF11")
+          .when(m4 === 2, "e\u0301clair \u2460").otherwise(lit("ascii only")),
+        lit("-"), col("source"))
+      docs(s, dir).select(col("doc_id"), nf(in).as("nfkc"))
+    }),
+
+    // formatTimestamp (classes/MetadataUtils.php:402-407): epoch seconds →
+    // ISO-8601 Z string, UTC
+    "q_format_ts" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        date_format(timestamp_seconds(col("doc_id") * 3671 + 86400),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts_str"))),
 
     // authorMatch (classes/MetadataUtils.php:163-194): byte-semantic
     // prefix/wordwise match — the pure JVM contract wrapped as a UDF for
@@ -853,6 +959,53 @@ object SparkEntry {
 
     "q_author_match" ->
       "SELECT doc_id, (doc_id % 5) IN (0, 1) AS matched FROM documents",
+
+    "q_strip_trailing" ->
+      """WITH t0 AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' /:;,' WHEN doc_id % 4 = 1 THEN '.'
+        |       WHEN doc_id % 4 = 2 THEN ' A.' ELSE ' ([' END AS ti FROM documents),
+        |t1 AS (SELECT doc_id, rtrim(ti, ' /:;,=([') AS t FROM t0)
+        |SELECT doc_id,
+        |  CASE WHEN t LIKE '%.' AND NOT (length(t) >= 3 AND substr(t, length(t) - 2, 1) = ' ')
+        |       THEN substr(t, 1, length(t) - 1) ELSE t END AS stripped
+        |FROM t1""".stripMargin,
+
+    "q_strip_leading" ->
+      """SELECT doc_id, ltrim(
+        |  CASE WHEN doc_id % 4 = 0 THEN '#! ' WHEN doc_id % 4 = 1 THEN '..?'
+        |       WHEN doc_id % 4 = 2 THEN '''"(' ELSE '' END || text,
+        |  ' #!?/:;.,=([''"') AS stripped
+        |FROM documents""".stripMargin,
+
+    "q_extract_year" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'year ' || CAST(1900 + doc_id % 120 AS VARCHAR) || ' ed.'
+        |       WHEN doc_id % 3 = 1 THEN 'circa -' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') || ' bc'
+        |       ELSE 'no digits here' END AS s
+        |  FROM documents)
+        |SELECT doc_id, regexp_extract(s, '(-?\d{4})', 1) AS yr FROM t""".stripMargin,
+
+    // expected NFKC foldings stated as literals (hand-derived, independent
+    // of the JVM normalizer): ﬁ→fi, fullwidth Ａ１→A1, e+combining
+    // acute→composed é, ①→1
+    "q_nfkc" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'file'
+        |       WHEN doc_id % 4 = 1 THEN 'A1'
+        |       WHEN doc_id % 4 = 2 THEN 'éclair 1'
+        |       ELSE 'ascii only' END || '-' || source AS nfkc
+        |FROM documents""".stripMargin,
+
+    "q_format_ts" ->
+      """SELECT doc_id,
+        |  strftime(make_timestamp((doc_id * 3671 + 86400) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS ts_str
+        |FROM documents""".stripMargin,
+
+    "q_dropped_log" ->
+      """SELECT 'grp' AS channel,
+        |  CAST(ascii(substring(source, 1, 1)) AS BIGINT) AS bucket_key,
+        |  count(*) AS bucket_n
+        |FROM documents GROUP BY 2 HAVING count(*) > 40""".stripMargin,
 
     "q_record_split" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)

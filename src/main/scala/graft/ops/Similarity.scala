@@ -111,30 +111,54 @@ object Similarity {
   def cosineDupPairs(emb: DataFrame, threshold: Double, bands: Int = 16,
                      bitsPerBand: Int = 8, seed: Long = 42L,
                      bucketCap: Int = 10000): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cands = srpCandidates(emb, bands, bitsPerBand, seed, bucketCap)
+    // exact-cosine rerank: full vectors joined back ONCE per side onto the
+    // deduplicated candidate ids — the vector bytes never ride the band
+    // shuffle (same shape as the text pipeline: narrow probes, verify
+    // joins the payload back)
+    cands
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Candidate (id_a < id_b) pairs from the multi-band SRP blocking — the
+    * NARROW stage: only (vec_id, band_id, band_key) rows enter the
+    * count-prefilter and the band self-join, so the shuffled bytes per
+    * vector are 3 × 8 B × bands regardless of dimensionality (the round-2
+    * formulation replicated full vectors ×bands on BOTH join sides —
+    * ~2 × bands × dim × 8 B of shuffle amplification, the dominant cost at
+    * embedding scale). The coded table is pinned (lazy localCheckpoint) so
+    * the expensive SRP projection — bands × bitsPerBand dot products per
+    * row — runs once, not once per consumer. */
+  private[graft] def srpCandidates(emb: DataFrame, bands: Int, bitsPerBand: Int,
+                                   seed: Long, bucketCap: Int): DataFrame = {
     val coded = srpBands(emb, bands, bitsPerBand, seed)
+      .select("vec_id", "band_id", "band_key").localCheckpoint(false)
     val counts = coded.groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))
       .where(col("n") >= 2)
     val kept = coded.join(counts, Seq("band_id", "band_key"))
-    def side(pred: Column, idAs: String, vAs: String) =
+    def side(pred: Column, idAs: String) =
       kept.where(pred).select(col("band_id").as(s"bi_$idAs"),
-        col("band_key").as(s"bk_$idAs"), col("vec_id").as(idAs), col("v").as(vAs))
+        col("band_key").as(s"bk_$idAs"), col("vec_id").as(idAs))
     // normal buckets: all unordered pairs
-    val smallA = side(col("n") <= bucketCap, "id_a", "va")
-    val smallB = side(col("n") <= bucketCap, "id_b", "vb")
+    val smallA = side(col("n") <= bucketCap, "id_a")
+    val smallB = side(col("n") <= bucketCap, "id_b")
     val smallPairs = smallA.join(smallB,
       col("bi_id_a") === col("bi_id_b") && col("bk_id_a") === col("bk_id_b") &&
         col("id_a") < col("id_b"))
     // over-cap buckets: star from the min-id member ONLY — the join never
     // generates the O(m²) intermediate, just m rows per degenerate bucket
-    val bigRep = side(col("n") > bucketCap && col("vec_id") === col("min_id"), "id_a", "va")
-    val bigOthers = side(col("n") > bucketCap && col("vec_id") =!= col("min_id"), "id_b", "vb")
+    // (and id_a = bucket min < id_b keeps the output canonical)
+    val bigRep = side(col("n") > bucketCap && col("vec_id") === col("min_id"), "id_a")
+    val bigOthers = side(col("n") > bucketCap && col("vec_id") =!= col("min_id"), "id_b")
     val bigPairs = bigRep.join(bigOthers,
       col("bi_id_a") === col("bi_id_b") && col("bk_id_a") === col("bk_id_b"))
     smallPairs.unionByName(bigPairs)
-      .where(cosine(col("va"), col("vb")) >= threshold)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 

@@ -101,12 +101,21 @@ object DedupStages {
 
   /** Attach the compact dictionary id and project to the columns the
     * pipeline consumes (html in particular is NEVER read downstream — a
-    * raw-payload column has no business in the pinned working set). MUST
-    * be cached or checkpointed before fan-out — monotonically_increasing_id
-    * is stable only for a fixed materialization. */
+    * raw-payload column has no business in the pinned working set).
+    *
+    * doc_id = xxhash64(url): deterministic under recompute — an executor
+    * loss that re-runs an upstream block renumbers NOTHING (a
+    * monotonically_increasing_id here would silently corrupt every
+    * downstream join unless the stage was pinned first). Collisions
+    * (expected ~n²/2⁶⁵: ≈3·10⁴ pairs at 10¹² docs) are SAFE: a shared id
+    * only aliases two docs in the candidate index, the verify stage joins
+    * ids back to urls (fanning an aliased pair out to its url
+    * combinations), re-checks exact Jaccard per URL pair, and drops the
+    * identity rows (url_a = url_b guard) — a collision costs a few extra
+    * verify rows, never a wrong cluster. */
   def withIds(pages: DataFrame): DataFrame =
     withSource(pages)
-      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("doc_id", xxhash64(col("url")))
       .select("doc_id", "url", "source", "lang", "text")
 
   // ----------------------------------------------------------- signatures
@@ -123,9 +132,9 @@ object DedupStages {
     withSource(pages)
       // compact dictionary id: the 32-rows-per-doc band table (and every
       // other bucket table) shuffles an 8-byte id instead of the url
-      // string; urls are translated back in the verify join. Stable for a
-      // fixed input snapshot (and frozen once the stage is checkpointed).
-      .withColumn("doc_id", monotonically_increasing_id())
+      // string; urls are translated back in the verify join. xxhash64(url)
+      // = recompute-stable (see withIds for the collision argument).
+      .withColumn("doc_id", xxhash64(col("url")))
       .select(
         col("doc_id"), col("url"), col("source"), col("lang"),
         md5(col("text")).as("content_hash"),
@@ -307,8 +316,12 @@ object DedupStages {
       .where(col("g.count") >= 2)
       .select(col("g.count").as("bn"), array_sort(zip_with(col("g.ids"), col("g.tags"),
         (u, t) => struct(u.as("u"), t.as("t")))).as("m"))
-      .select(explode(expandMembers(col("bn"), col("m"), cfg.bucketCap)).as("p"))
-      .where(bit_count(col("p.a.t").bitwiseXOR(col("p.b.t"))) <= cfg.simhashMaxHamming)
+      .select(col("bn"), explode(expandMembers(col("bn"), col("m"), cfg.bucketCap)).as("p"))
+      // Hamming residual applies to clique pairs only; over-cap STAR
+      // salvage pairs skip it (precision delegated to verify) — the same
+      // semantics as the fused candidatesFromProbes path
+      .where(col("bn") > cfg.bucketCap ||
+        bit_count(col("p.a.t").bitwiseXOR(col("p.b.t"))) <= cfg.simhashMaxHamming)
       .select(col("p.a.u").as("id_a"), col("p.b.u").as("id_b"),
         lit("simhash").as("channel"))
       .distinct()
@@ -404,8 +417,8 @@ object DedupStages {
     val dropped = counts.where(col("bucket_n") > cfg.bucketCap)
       .select(col("channel"), col("bucket_key"), col("bucket_n"))
 
-    // Attach (bucket_n, center) to every multi-member probe row with ONE
-    // inner join. `counts` is a materialized leaf, so AQE plans a
+    // Attach (bucket_n, center) to every under-cap multi-member probe row
+    // with ONE inner join. `counts` is a materialized leaf, so AQE plans a
     // broadcast-hash join: the raw probe rows are NEVER shuffled or
     // sorted — the fused probe scan streams through the join map-side,
     // exactly like round 1's broadcast semi-join, preserving the
@@ -413,7 +426,9 @@ object DedupStages {
     // (Measured alternatives at 1.2M docs × 16 cores: an unhinted join
     // shuffles 58M probe rows — candidates 104 s → 199 s; a window
     // formulation shuffles AND sorts them twice — efficiency 0.77 → 0.56.)
-    val tagged = probes.join(counts, Seq("channel", "bucket_key"))
+    val cold = counts.where(col("bucket_n") <= cfg.bucketCap)
+    val hot = counts.where(col("bucket_n") > cfg.bucketCap)
+    val tagged = probes.join(cold, Seq("channel", "bucket_key"))
 
     // normal buckets: bounded member collect + in-task clique expansion
     // (partial ObjectHashAggregate combines map-side, so only capped
@@ -421,7 +436,6 @@ object DedupStages {
     val collect = org.apache.spark.sql.functions.udaf(
       new graft.functions.CappedCollect(cfg.bucketCap))
     val cliquePairs = tagged
-      .where(col("bucket_n") <= cfg.bucketCap)
       .groupBy(col("channel"), col("bucket_key"))
       .agg(collect(col("doc_id"), col("tag")).as("g"))
       .select(col("channel"), array_sort(zip_with(col("g.ids"), col("g.tags"),
@@ -442,8 +456,21 @@ object DedupStages {
     // the full cluster through the center). Reference analog: caps its
     // candidate list but still matches within it
     // (classes/RecordManager.php:1402-1410).
-    val starPairs = tagged
-      .where(col("bucket_n") > cfg.bucketCap && col("doc_id") =!= col("center"))
+    //
+    // The hot-key join is SALTED (the north rule's salted-join clause):
+    // each over-cap counts row is exploded into `starSalt` salt replicas
+    // and the probe side routes by hash(doc_id) % starSalt, so when
+    // `counts` ever exceeds the broadcast threshold (10¹²-doc regime) and
+    // this falls back to a shuffle, a degenerate bucket's m probe rows
+    // land on `starSalt` tasks instead of one. Hot rows are few, so the
+    // ×starSalt explode is noise under broadcast.
+    val starSalt = 16
+    val hotSalted = hot.withColumn("salt",
+      explode(sequence(lit(0), lit(starSalt - 1))))
+    val starPairs = probes
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(starSalt)).cast("int"))
+      .join(hotSalted, Seq("channel", "bucket_key", "salt"))
+      .where(col("doc_id") =!= col("center"))
       .select(col("center").as("id_a"), col("doc_id").as("id_b"), col("channel"))
 
     val probePairs = cliquePairs.unionByName(starPairs).distinct()
@@ -462,34 +489,66 @@ object DedupStages {
     * over distinct shingle sets, accepted when either clears its
     * threshold, with the reference's hard gates (lang ≡ format,
     * cross-source) as config. Also translates candidate doc_ids back to
-    * urls (the only place that pays string width). */
+    * urls (the only place that pays string width).
+    *
+    * Strong-key prefilter (the reference skips weak-key verification when
+    * a strong key already decided, classes/RecordManager.php:1374-1390):
+    * pairs carrying the `exact` channel are byte-identical texts, so they
+    * take a FAST PATH — content_hash equality re-checked (collision-proof:
+    * the md5 is the ground truth, not the channel tag), shingle math
+    * derived from the a side alone (identical sets ⇒ J = containment = 1,
+    * n_inter = n_union = n_min = |Sₐ|) — and never pay the b-side
+    * shingling or the set intersect. Requires a `content_hash` column on
+    * the side relation; without one, exact pairs flow through the full
+    * path unchanged. */
   def verified(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val fastable = sigs.columns.contains("content_hash") &&
+      pairs.columns.contains("channels")
+    val isExact = array_contains(col("channels"), "exact")
+    val weakPairs = if (fastable) pairs.where(!isExact) else pairs
+    val exactPairs = if (fastable) pairs.where(isExact)
+      else pairs.where(lit(false))
+
     // side rows need shingle sets; a lean side (no `shingles` column but
     // `text`) computes them here. The semi-join to the distinct pair
     // participants comes FIRST — below the shingle projection — so only
     // participants (~0.1% of the corpus at web scale) pay the shingling
     // cost; without it Spark computes shingle sets for every row of the
     // side relation, twice (a and b sides), silently re-paying the whole
-    // signature-scan cost in the verify stage.
+    // signature-scan cost in the verify stage. Exact-channel pairs
+    // contribute only their a side (the fast path reads one side).
     val withShingles =
       if (sigs.columns.contains("shingles")) sigs
       else {
-        val participants = pairs
-          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+        val participants = weakPairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .unionByName(exactPairs.select(col("id_a").as("doc_id")))
+          .distinct()
         val sh = TextColumns.shingleSet(col("text"), cfg.shingleSize)
         sigs.join(participants, Seq("doc_id"), "left_semi")
           .withColumn("shingles", sh).withColumn("n_shingles", size(col("shingles")))
       }
-    val side = withShingles.select(col("doc_id").as("jid"), col("url"), col("source"),
-      col("lang"), col("shingles"), col("n_shingles"))
+    val sideCols = Seq("url", "source", "lang") ++
+      (if (fastable) Seq("content_hash") else Nil)
+    val side = withShingles.select(
+      (col("doc_id").as("jid") +: sideCols.map(col)) :+
+        col("shingles") :+ col("n_shingles"): _*)
     val a = side.toDF(side.columns.map(_ + "_a"): _*)
     val b = side.toDF(side.columns.map(_ + "_b"): _*)
-    var joined = pairs
+
+    def gates(df: DataFrame): DataFrame = {
+      var j = df
+      if (cfg.requireSameLang) j = j.where(col("lang_a") === col("lang_b"))
+      if (cfg.crossSourceOnly) j = j.where(col("source_a") =!= col("source_b"))
+      // identity guard: a doc_id hash collision fans an aliased candidate
+      // pair out to url combinations that include (u, u) self-rows — drop
+      // them here (also shields against duplicate urls in the input)
+      j.where(col("url_a") =!= col("url_b"))
+    }
+
+    val weakOut = gates(weakPairs
       .join(a, col("id_a") === col("jid_a")).drop("jid_a")
-      .join(b, col("id_b") === col("jid_b")).drop("jid_b")
-    if (cfg.requireSameLang) joined = joined.where(col("lang_a") === col("lang_b"))
-    if (cfg.crossSourceOnly) joined = joined.where(col("source_a") =!= col("source_b"))
-    joined
+      .join(b, col("id_b") === col("jid_b")).drop("jid_b"))
       .select(
         least(col("url_a"), col("url_b")).as("u1"),
         greatest(col("url_a"), col("url_b")).as("u2"),
@@ -503,6 +562,28 @@ object DedupStages {
       .withColumn("containment", col("n_inter").cast("double") / col("n_min").cast("double"))
       .where(col("jaccard") >= cfg.jaccardThreshold ||
         col("containment") >= cfg.containmentThreshold)
+
+    if (!fastable) return weakOut
+
+    // fast path: b side joins LEAN columns only (url/source/lang/hash)
+    val bl = sigs.select(col("doc_id").as("jid_b"), col("url").as("url_b"),
+      col("source").as("source_b"), col("lang").as("lang_b"),
+      col("content_hash").as("content_hash_b"))
+    val exactOut = gates(exactPairs
+      .join(a, col("id_a") === col("jid_a")).drop("jid_a")
+      .join(bl, col("id_b") === col("jid_b")).drop("jid_b"))
+      .where(col("content_hash_a") === col("content_hash_b"))
+      .select(
+        least(col("url_a"), col("url_b")).as("url_a"),
+        greatest(col("url_a"), col("url_b")).as("url_b"),
+        col("channels"),
+        col("n_shingles_a").cast("long").as("n_inter"),
+        col("n_shingles_a").cast("long").as("n_union"),
+        col("n_shingles_a").cast("long").as("n_min"))
+      .withColumn("jaccard", lit(1.0d))
+      .withColumn("containment", lit(1.0d))
+
+    weakOut.unionByName(exactOut)
   }
 
   // -------------------------------------------------------------- clusters
@@ -532,32 +613,20 @@ object DedupStages {
     */
   def mergedClusters(clusters: DataFrame, pages: DataFrame,
                      memberCap: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = withSource(pages).select(col("url"), col("text"), col("lang"), col("source"))
-    // the member relation (cluster rows + their page fields) feeds three
-    // aggregations below; lazily pin it so the pages join — which shuffles
-    // full text rows — executes once, not per consumer. Bounded by the
-    // duplicate population (≪ corpus).
-    val m = clusters.join(p, "url").localCheckpoint(false)
-    val stats = m.groupBy(col("cluster_id")).agg(
-      F.count(lit(1)).as("size"),
-      F.min(struct((-length(col("text"))).as("neg_len"), col("url"), col("text")))
-        .getField("text").as("rep_text"),
-      F.min(struct((-length(col("text"))).as("neg_len"), col("url")))
-        .getField("url").as("rep_url"),
-      F.min(struct(col("url"), col("lang"))).getField("lang").as("first_lang"),
-      sort_array(collect_set(col("source"))).as("sources"))
-    val w = Window.partitionBy("cluster_id").orderBy("url")
-    val members = m.select(col("cluster_id"), col("url"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= memberCap)
-      .groupBy("cluster_id").agg(sort_array(collect_list(col("url"))).as("members"))
-    val langs = m.groupBy(col("cluster_id"), lower(col("lang")).as("lk"))
-      .agg(F.min(struct(col("url"), col("lang"))).as("o"))
-      .groupBy("cluster_id")
-      .agg(transform(sort_array(collect_list(col("o"))), _.getField("lang")).as("langs"))
-    stats.join(members, "cluster_id").join(langs, "cluster_id")
-      .select("cluster_id", "size", "members", "rep_text", "rep_url",
-        "first_lang", "langs", "sources")
+    // ONE aggregation (graft.functions.ClusterFold) folds every per-field
+    // merge semantic in a single shuffle of the member relation — the
+    // former 3-aggregation + window + 2-join formulation cost five extra
+    // stages at toy scale and three extra shuffles of the member relation
+    // at any scale. Buffers stay O(memberCap) on degenerate clusters.
+    val fold = F.udaf(new graft.functions.ClusterFold(memberCap))
+    clusters.join(p, "url")
+      .groupBy(col("cluster_id"))
+      .agg(fold(col("url"), col("text"), col("lang"), col("source")).as("o"))
+      .select(col("cluster_id"), col("o.size").as("size"),
+        col("o.members").as("members"), col("o.rep_text").as("rep_text"),
+        col("o.rep_url").as("rep_url"), col("o.first_lang").as("first_lang"),
+        col("o.langs").as("langs"), col("o.sources").as("sources"))
   }
 }
 
@@ -628,8 +697,9 @@ object DedupPipeline {
     val droppedC = timed("dropped_buckets")(dropped)
 
     // verify joins the pair participants back to text and recomputes
-    // their shingle sets inline
-    val verSide = sigs.select("doc_id", "url", "source", "lang")
+    // their shingle sets inline (content_hash rides along to enable the
+    // exact-channel fast path)
+    val verSide = sigs.select("doc_id", "url", "source", "lang", "content_hash")
       .join(pw.select("doc_id", "text"), "doc_id")
     val ver0 = timed("verified_pairs")(DedupStages.verified(candC, verSide, cfg))
     val ver = if (checkpointRoot.isEmpty) ver0.cache() else ver0

@@ -62,18 +62,19 @@ object IncrementalDedup {
       pagesSrc("url") === oldKeys("u") &&
         md5(pagesSrc("text")) === oldKeys("ch"), "left_anti")
 
-    // re-sign only the dirty rows (lean rows; see leanSignatures); shift
-    // their doc_ids above the old range
-    val maxOld = unchangedSigs.agg(coalesce(F.max("doc_id"), lit(0L))).head().getLong(0)
+    // re-sign only the dirty rows (lean rows; see leanSignatures). Ids are
+    // xxhash64(url) (DedupStages.withIds) — globally deterministic, so a
+    // changed url keeps the SAME doc_id across rounds (its stale probes
+    // are dropped by the unchanged semi-join below and replaced by fresh
+    // ones) and no driver-side max-id action is needed.
     val deltaSigs = DedupStages.leanSignatures(DedupStages.withIds(dirtyPages), cfg)
-      .withColumn("doc_id", col("doc_id") + lit(maxOld + 1L))
     val sigs = unchangedSigs.unionByName(deltaSigs).cache()
-    val deltaIds = sigs.where(col("doc_id") > maxOld).select("doc_id")
+    val deltaIds = deltaSigs.select("doc_id")
 
     // id -> text side; consumed ONLY for (a) dirty-doc probe generation
     // and (b) the verify stage, which semi-joins to pair participants
     // before shingling — no unchanged-doc text is ever re-read in full
-    val pw = sigs.select("doc_id", "url", "source", "lang")
+    val pw = sigs.select("doc_id", "url", "source", "lang", "content_hash")
       .join(pagesSrc.select("url", "text"), Seq("url")).cache()
     val deltaPw = pw.join(deltaIds, Seq("doc_id"), "left_semi")
 

@@ -75,6 +75,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == 1L)
   }
 
+  test("SRP candidate generation shuffles NO array column (vectors join back only for the rerank)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val cands = Similarity.srpCandidates(emb, bands = 16, bitsPerBand = 8,
+      seed = 42L, bucketCap = 10000)
+    val exchanges = cands.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"band-join shuffle carries array columns: ${arrays.map(_.name).mkString(",")}")
+    }
+    // and the candidates themselves still feed a correct rerank
+    val got = Similarity.cosineDupPairs(emb, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+  }
+
   test("multi-band SRP recall: >=99% of true cosine>=0.95 pairs survive the OR-of-bands generator (2k vectors)") {
     // 200 planted near-dup pairs (anchor + small jitter) + 1600 random
     val rnd = new scala.util.Random(17)

@@ -56,8 +56,10 @@ class IncrementalSpec extends AnyFunSuite {
     val pc = cold.verifiedPairs.select("url_a", "url_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pi == pc)
     // the dirty set is a small fraction: recompute touched << full corpus
-    val recomputed = incr.signatures.where(col("doc_id") >
-      prev.signatures.agg(max("doc_id")).head().getLong(0)).count()
+    // (dirty = new sig rows whose (url, content_hash) was not in v1)
+    val recomputed = incr.signatures.join(
+      prev.signatures.select("url", "content_hash"),
+      Seq("url", "content_hash"), "left_anti").count()
     assert(recomputed < v2.size / 2, s"only dirty docs re-signed (got $recomputed of ${v2.size})")
   }
 

@@ -115,6 +115,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(hotUrls.flatMap(clusters.get).size == 1, "…in ONE cluster")
   }
 
+  test("salted over-cap join: broadcast disabled (forced shuffle fallback) yields identical pairs, salt in plan") {
+    val capped = DedupConfig(bucketCap = 10, exactChannel = false)
+    val normal = pipelinePairs(capped)
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    try {
+      confs.foreach(spark.conf.set(_, "-1"))
+      val r = DedupPipeline.run(spark, pagesDf, capped)
+      val shuffled = r.verifiedPairs.select("url_a", "url_b").collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+      assert(shuffled == normal, "shuffle-fallback candidate generation must not change pairs")
+      // the salt column must be visible in an uncached candidate plan
+      val pw = DedupStages.withIds(pagesDf)
+      val (cand, _) = DedupStages.candidatesFromProbes(
+        DedupStages.probeRows(pw, capped), DedupStages.leanSignatures(pw, capped), capped)
+      assert(cand.queryExecution.optimizedPlan.toString().contains("salt"),
+        "hot-bucket star join must route by the salt column")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("doc_ids are recompute-stable: same url -> same id under any partition layout") {
+    def ids(df: DataFrame): Map[String, Long] =
+      DedupStages.withIds(df).select("url", "doc_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = ids(pagesDf.repartition(7))
+    val b = ids(pagesDf.repartition(3).sortWithinPartitions("text"))
+    assert(a == b, "ids must not depend on partitioning or row order")
+  }
+
+  test("exact-channel verify fast path: identical rows to the full path, non-vacuously exercised") {
+    val cfg = DedupConfig()
+    val r = DedupPipeline.run(spark, pagesDf, cfg)
+    assert(r.candidatePairs.where(array_contains(col("channels"), "exact")).count() > 0,
+      "fixture must exercise the exact fast path")
+    val side = r.signatures.select("doc_id", "url", "source", "lang", "content_hash")
+      .join(DedupStages.withIds(pagesDf).select("doc_id", "text"), "doc_id")
+    def rows(s: DataFrame) = DedupStages.verified(r.candidatePairs, s, cfg)
+      .withColumn("channels", concat_ws(",", col("channels")))
+      .collect().map(_.toString).sorted.toSeq
+    // dropping content_hash disables the fast path -> full shingle verify
+    assert(rows(side) == rows(side.drop("content_hash")))
+  }
+
   test("determinism: two runs produce identical cluster tables") {
     val a = DedupPipeline.run(spark, pagesDf, DedupConfig())
       .clusters.collect().map(_.toString).sorted
