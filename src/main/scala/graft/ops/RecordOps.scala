@@ -60,9 +60,17 @@ object RecordOps {
     * boolean expression. The xpath rides as a bound string literal with
     * quotes escaped — `contains(//body, 'dup')` style expressions (single
     * quotes are standard XPath syntax) parse fine and nothing from the
-    * config string can escape into the SQL. */
+    * config string can escape into the SQL. Escaping adapts to the active
+    * parser mode: with `spark.sql.parser.escapedStringLiterals` enabled
+    * (legacy Hive mode) backslash escapes are inert, so quotes are doubled
+    * ('' — valid in both modes for a quote inside a single-quoted literal
+    * is NOT true in default mode, hence the branch). */
   def xpathFilter(pages: DataFrame, xpath: String): DataFrame = {
-    val quoted = xpath.replace("\\", "\\\\").replace("'", "\\'")
+    val legacy = pages.sparkSession.conf
+      .getOption("spark.sql.parser.escapedStringLiterals").contains("true")
+    val quoted =
+      if (legacy) xpath.replace("'", "''")
+      else xpath.replace("\\", "\\\\").replace("'", "\\'")
     pages.where(expr(s"xpath_boolean(CAST(html AS STRING), '$quoted')"))
   }
 }

@@ -663,9 +663,13 @@ object DedupPipeline {
     // reused from checkpoint — the resume path is visible in the metrics)
     val timings = scala.collection.mutable.ListBuffer.empty[(String, Long)]
     def timed(name: String)(compute: => DataFrame): DataFrame = {
+      // a stage reused from checkpoint records wall_ms = 0 (the manifest
+      // check + parquet-open cost is not stage work) — resume lineage is
+      // distinguishable in the metrics table as documented in Metrics
+      val reused = checkpointRoot.exists(r => TableIO.isCurrent(r, name, ch, fp))
       val t0 = System.nanoTime()
       val out = TableIO.stage(spark, checkpointRoot, name, ch, fp)(compute)
-      timings += name -> ((System.nanoTime() - t0) / 1000000L)
+      timings += name -> (if (reused) 0L else (System.nanoTime() - t0) / 1000000L)
       out
     }
 

@@ -45,8 +45,23 @@ object IncrementalDedup {
   def freshProbes(deltaPw: DataFrame, cfg: DedupConfig): DataFrame =
     DedupStages.probeRows(deltaPw, cfg)
 
+  /** `full` is the complete new state (what a cold consumer reads);
+    * the `delta*` frames are the O(dirty) INCREMENTS of this pass — what a
+    * delta-log writer persists per batch (graft.io.DeltaLog, used by
+    * StreamingDedup): fresh signature rows, fresh probe rows, and the
+    * newly verified pairs (pairs between two unchanged docs are carried
+    * in `full` but never re-written). */
+  final case class DeltaResult(full: DedupPipeline.Result,
+                               deltaSignatures: DataFrame,
+                               deltaProbes: DataFrame,
+                               deltaVerified: DataFrame)
+
   def run(spark: SparkSession, prev: PrevState, newPages: DataFrame,
-          cfg: DedupConfig = DedupConfig()): DedupPipeline.Result = {
+          cfg: DedupConfig = DedupConfig()): DedupPipeline.Result =
+    runDelta(spark, prev, newPages, cfg).full
+
+  def runDelta(spark: SparkSession, prev: PrevState, newPages: DataFrame,
+               cfg: DedupConfig = DedupConfig()): DeltaResult = {
     val pagesSrc = DedupStages.withSource(newPages)
     val newHashes = pagesSrc.select(col("url"), md5(col("text")).as("ch"))
 
@@ -126,7 +141,11 @@ object IncrementalDedup {
     // surviving unchanged docs + fresh dirty-doc probes
     val probesAll = unchangedProbes
       .unionByName(deltaProbes.select("channel", "bucket_key", "doc_id", "tag"))
-    DedupPipeline.Result(sigs, probesAll, deltaPairs, dropped, verifiedAll,
-      clusters, merged)
+    DeltaResult(
+      DedupPipeline.Result(sigs, probesAll, deltaPairs, dropped, verifiedAll,
+        clusters, merged),
+      deltaSignatures = deltaSigs,
+      deltaProbes = deltaProbes.select("channel", "bucket_key", "doc_id", "tag"),
+      deltaVerified = deltaVerified)
   }
 }

@@ -60,5 +60,46 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got.values.toSet.size == 1, "urls 1,2,3 form one cluster")
     assert(got.keySet == Set("https://a.example.com/1", "https://b.example.com/2",
       "https://c.example.com/3"))
+
+    // O(batch) state I/O: batch 2's deltas are bounded by the BATCH (2
+    // upserts), not the corpus — the state tables are append-only logs
+    import graft.io.DeltaLog
+    val batch2Id = DeltaLog.list(stateDir, "pages").map(_.batchId).max
+    def rowsAt(table: String) =
+      DeltaLog.list(stateDir, table).filter(_.batchId == batch2Id).map(_.rows).sum
+    assert(rowsAt("pages") == 2, "pages delta must hold exactly the 2 upserts")
+    assert(rowsAt("signatures") == 2, "only the 2 dirty docs re-signed")
+    assert(rowsAt("probes") < 100, "probe delta is two docs' worth")
+    // resolved views carry the full state regardless
+    assert(StreamingDedup.resolvedPages(spark, stateDir).get.count() == 4)
+    assert(StreamingDedup.resolvedSignatures(spark, stateDir).get.count() == 4)
+  }
+
+  test("compaction preserves state: many small batches with compactEvery=2 still match the cold run") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-stream-c").toString
+    val cfg = graft.pipeline.DedupConfig()
+    val batches = Seq(
+      Seq(p("https://a.example.com/1", "alpha beta gamma delta epsilon zeta eta theta iota kappa")),
+      Seq(p("https://b.example.com/2", "alpha beta gamma delta epsilon zeta eta theta iota kappa", ts = 1)),
+      Seq(p("https://c.example.com/3", "totally different body of words in this third page here", ts = 2)),
+      Seq(p("https://a.example.com/1", "totally different body of words in this third page here", ts = 3)),
+      Seq(p("https://d.example.com/4", "alpha beta gamma delta epsilon zeta eta theta iota kappa", ts = 4)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingDedup.processBatch(spark, b.toDF(), stateDir, cfg,
+        batchId = i.toLong, compactEvery = 2)
+    }
+    import graft.io.DeltaLog
+    assert(DeltaLog.list(stateDir, "pages").size <= 3,
+      "compaction must bound the delta count")
+    val got = graft.io.TableIO.read(spark, stateDir, "clusters")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // cold truth over the final snapshot: 1 upserted to page-3's text
+    val finalSnapshot = Seq(
+      batches(1).head, batches(2).head, batches(3).head, batches(4).head).toDF()
+    val cold = graft.pipeline.DedupPipeline.run(spark,
+      graft.pipeline.DedupStages.withSource(finalSnapshot), cfg)
+    val want = cold.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == want, s"got $got want $want")
   }
 }
