@@ -210,6 +210,21 @@ object SparkEntry {
         col("stopword_count").cast("long").as("stopword_count"),
         col("distinct_permille"))),
 
+    // token counting, whitespace + BPE-ish regex pre-tokenizer (LLM
+    // token-count proxy; TextStats.bpeTokenPattern is RE2-compatible so
+    // the DuckDB oracle runs the identical pattern)
+    // the synthetic corpus is plain lowercase words (ws==bpe would be
+    // vacuous), so a deterministic suffix with digits/punct/contraction
+    // is appended to force the two tokenizations apart
+    "q_token_counts" -> ((s, dir) => {
+      val t = concat(col("text"), lit(" doc-"), col("doc_id").cast("string"),
+        lit("'s #"), col("lang"))
+      docs(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(t).cast("long").as("ws_tokens"),
+        TextStats.bpeTokenCount(t).cast("long").as("bpe_tokens"))
+    }),
+
     // -------------------------------------- dedup channels (SURVEY §2.4, §7.0)
     "q_exact_dup_pairs" -> ((s, dir) => {
       val p = DedupStages.pagesFromDocuments(docsWithDups(s, dir))
@@ -397,6 +412,22 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         array_join(filter(arr, (x, i) =>
           !exists(slice(arr, lit(1), i), y => lower(y) === lower(x))), ",").as("iunique"))
+    }),
+
+    // worklist remainder: keys still to process = union-distinct of seen
+    // keys MINUS processed keys (array_except) — the dedup worklist update
+    // the reference runs per batch (classes/RecordManager.php:1303-1312,
+    // keys pending minus keys handled). Per source: first-token keys seen
+    // in the doc_id%7==0 slice that never appear in the rest.
+    "q_worklist_diff" -> ((s, dir) => {
+      val tok = split(col("text"), " ").getItem(0)
+      docs(s, dir).groupBy(col("source"))
+        .agg(
+          collect_set(when(col("doc_id") % 7 === 0, tok)).as("pending"),
+          collect_set(when(col("doc_id") % 7 =!= 0, tok)).as("done"))
+        .select(col("source"),
+          array_join(array_sort(array_except(col("pending"), col("done"))), ",")
+            .as("remaining"))
     }),
 
     // from/until window + pagination (classes/OaiPmhProvider.php:218-261)
@@ -747,6 +778,15 @@ object SparkEntry {
         |CAST(floor(1000.0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) AS BIGINT) AS distinct_permille
         |FROM documents""".stripMargin,
 
+    "q_token_counts" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' doc-' || CAST(doc_id AS VARCHAR) || '''s #' || lang AS tt
+        |  FROM documents)
+        |SELECT doc_id,
+        |len(list_filter(string_split(tt, ' '), x -> x <> '')) AS ws_tokens,
+        |len(regexp_extract_all(tt, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS bpe_tokens
+        |FROM t""".stripMargin,
+
     "q_exact_dup_pairs" ->
       s"""WITH $dupDocsSql,
          |p AS (SELECT $urlSql AS url, md5(text) AS h FROM dd)
@@ -829,6 +869,16 @@ object SparkEntry {
 
     "q_iunique" ->
       "SELECT doc_id, lang || ',' || source AS iunique FROM documents",
+
+    "q_worklist_diff" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    coalesce(list_distinct(list(string_split(text, ' ')[1]) FILTER (doc_id % 7 = 0)), []) AS pending,
+        |    coalesce(list_distinct(list(string_split(text, ' ')[1]) FILTER (doc_id % 7 <> 0)), []) AS done
+        |  FROM documents GROUP BY source)
+        |SELECT source,
+        |  coalesce(array_to_string(list_sort(list_filter(pending, x -> NOT list_contains(done, x))), ','), '') AS remaining
+        |FROM g""".stripMargin,
 
     "q_until_window" ->
       """SELECT event_id, event_type FROM events

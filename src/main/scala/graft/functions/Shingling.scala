@@ -93,7 +93,13 @@ object TextColumns {
     * single-space-separated tokens, no leading/trailing whitespace). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Per-token 64-bit hashes; seed fixed by xxhash64's default (42). */
+  /** Per-token 64-bit hashes; seed fixed by xxhash64's default (42).
+    * Deliberately the COMPOSED builtin chain, not a custom fused
+    * expression: an A/B at 1.4M docs × 16 cores measured the codegen'd
+    * split+transform+xxhash64 at 132 s end-to-end vs 145–151 s for a
+    * hand-written single-pass byte-walk Expression — Spark's builtin
+    * UTF8String split + word-at-a-time XXH64 beat the byte-at-a-time
+    * custom loop, so the builtin stays. */
   def tokenHashes(text: Column): Column =
     transform(tokens(text), t => xxhash64(t))
 

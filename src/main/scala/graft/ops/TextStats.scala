@@ -33,6 +33,19 @@ object TextStats {
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokensCol(text), t => t.isin(stopwords.map(lit): _*)))
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to what both
+    * Java regex and RE2 support — no lookahead): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs. Splitting
+    * a doc with it approximates subword-tokenizer input segmentation, so
+    * its match count is the standard cheap proxy for LLM token count. */
+  val bpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** BPE-ish token count: number of pre-tokenizer segments (codegen'd
+    * regexp_extract_all, no UDF). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
   /** Quality features, all integer-valued for oracle-stable comparison:
     * char count, word count, distinct-word count, stopword count, and
     * distinct/total ratio in permille. */

@@ -25,21 +25,39 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  /** Below this many input edges the alternating-rounds machinery (each
+    * round: 2 shuffles + a checksum job, ~log n rounds) costs pure driver
+    * latency that dwarfs the work — a few-MB edge list is union-found on
+    * the driver in one job instead. The DISTRIBUTED path is untouched
+    * above the limit; the decision itself is one `count()` over the
+    * caller's already-cached/checkpointed pairs table (trivial next to
+    * even a single CC round). 500k edges ≈ 100–250 MB of driver heap
+    * (narrow url pairs + union-find maps) — safe under the smallest
+    * driver this library targets, and far below the point where the
+    * O(α) driver union-find would rival even one distributed round. */
+  val driverEdgeLimit: Long = 500000L
+
   /** edges: DataFrame with two string columns (endpoint pairs, undirected).
     * Returns (vertex, component) for every vertex incident to an edge.
     * Vertices that appear in no edge are singletons by definition and are
     * not emitted (the reference likewise keeps no `dedup` doc for
     * singletons, classes/RecordManager.php:1746-1757). */
-  def run(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 64,
+          smallGraphLimit: Long = driverEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
     val cols = edges.columns
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.mkString(",")}")
 
-    // canonical orientation: u > v ("points at smaller")
-    var e = edges
+    val canonical = edges
       .select(col(cols(0)).as("a"), col(cols(1)).as("b"))
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+
+    if (smallGraphLimit > 0 && edges.count() <= smallGraphLimit)
+      return driverUnionFind(spark, canonical)
+
+    // canonical orientation: u > v ("points at smaller")
+    var e = canonical
       .distinct()
       .localCheckpoint(true)
 
@@ -90,6 +108,50 @@ object ConnectedComponents {
       .join(e.select(col("u")).distinct(), col("v") === col("u"), "left_anti")
       .select(col("v").as("vertex"), col("v").as("component"))
     members.union(roots)
+  }
+
+  /** Small-graph fast path: collect the (bounded) edge list and union-find
+    * with path compression on the driver. Component id = minimum member
+    * under the vertex type's NATIVE ordering — identical semantics to the
+    * distributed rounds' least/greatest (asserted equivalent in
+    * ConnectedComponentsSpec). Type-generic because callers pass string
+    * urls (text pipeline) or long vec_ids (embedding pipeline). */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              canonical: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = canonical.schema.fields(0).dataType
+    val ord: Ordering[Any] = (dt match {
+      case StringType  => Ordering.String
+      case LongType    => Ordering.Long
+      case IntegerType => Ordering.Int
+      case ShortType   => Ordering.Short
+      case DoubleType  => Ordering.Double.TotalOrdering
+      case other => sys.error(s"unsupported CC vertex type: $other")
+    }).asInstanceOf[Ordering[Any]]
+    val pairs = canonical.collect().map(r => (r.get(0), r.get(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // union by minimum root: the min member always wins, so every find()
+    // ends at the component's smallest vertex
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val verts = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val rows = verts.toSeq.sorted(ord)
+      .map(v => org.apache.spark.sql.Row(v, find(v)))
+    val schema = StructType(Seq(
+      StructField("vertex", dt, nullable = false),
+      StructField("component", dt, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   private def checksum(e: DataFrame): (Long, Long) = {

@@ -689,7 +689,17 @@ object DedupPipeline {
     // persisted — it is the index the incremental pass probes with
     // O(dirty) work instead of a full-corpus text rescan
     val probes = checkpointRoot match {
-      case Some(_) => timed("probes")(DedupStages.probeRows(pw, cfg))
+      // the PERSISTED band index is explicitly range-partitioned on
+      // (channel, bucket_key) and sorted within partitions (north rule:
+      // "explicit range-partitioning of signature bands"): each stored
+      // file covers a contiguous bucket-key range, so parquet row-group
+      // min/max stats prune incremental probes of specific buckets and
+      // same-bucket rows compress/co-locate. The fused in-memory path
+      // needs no such shuffle (buckets are hash-grouped on the fly).
+      case Some(_) => timed("probes")(
+        DedupStages.probeRows(pw, cfg)
+          .repartitionByRange(col("channel"), col("bucket_key"))
+          .sortWithinPartitions("channel", "bucket_key"))
       case None => DedupStages.probeRows(pw, cfg)
     }
     val (cand, dropped) = DedupStages.candidatesFromProbes(probes, sigs, cfg)

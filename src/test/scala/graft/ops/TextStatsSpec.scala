@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Token-counting semantics (whitespace + the BPE-ish pre-tokenizer). */
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def counts(text: String): (Int, Int) = {
+    val r = Seq(text).toDF("text")
+      .select(TextStats.tokenCount(col("text")).as("ws"),
+        TextStats.bpeTokenCount(col("text")).as("bpe"))
+      .head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  test("whitespace count ignores empty tokens from runs of spaces") {
+    assert(counts("a  b   c") == (3, 3))
+    assert(counts("") ==(0, 0))
+    assert(counts("   ") == (0, 0))
+  }
+
+  test("BPE-ish segmentation splits contractions, digits, punctuation") {
+    // it's -> [it]['s]; doc-42 -> [doc][-][42]; #tag -> [#][tag]
+    assert(counts("it's")._2 == 2)
+    assert(counts("doc-42")._2 == 3)
+    assert(counts("#tag")._2 == 2)
+    // space-prefixed runs stay one segment each
+    assert(counts("hello world")._2 == 2)
+    // mixed: "we've 2 cats!" -> [we]['ve][ 2][ cats][!]
+    assert(counts("we've 2 cats!")._2 == 5)
+  }
+
+  test("BPE count >= whitespace count on any text (segments only split)") {
+    val texts = Seq("plain words only", "x9y", "a'b'c", "n0 m1x3d t3xt!",
+      "trailing space ", " leading")
+    texts.foreach { t =>
+      val (ws, bpe) = counts(t)
+      assert(bpe >= ws, s"'$t' ws=$ws bpe=$bpe")
+    }
+  }
+}
