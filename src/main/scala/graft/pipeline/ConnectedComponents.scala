@@ -29,13 +29,18 @@ object ConnectedComponents {
     * round: 2 shuffles + a checksum job, ~log n rounds) costs pure driver
     * latency that dwarfs the work — a few-MB edge list is union-found on
     * the driver in one job instead. The DISTRIBUTED path is untouched
-    * above the limit; the decision itself is one `count()` over the
-    * caller's already-cached/checkpointed pairs table (trivial next to
-    * even a single CC round). 500k edges ≈ 100–250 MB of driver heap
-    * (narrow url pairs + union-find maps) — safe under the smallest
-    * driver this library targets, and far below the point where the
-    * O(α) driver union-find would rival even one distributed round. */
-  val driverEdgeLimit: Long = 500000L
+    * above the limit.
+    *
+    * The limit is derived from the ACTUAL driver heap, not a constant:
+    * an edge with two long-url string endpoints costs ~500 B of real heap
+    * (boxed strings on both sides, tuple, union-find HashMap entries), so
+    * the collected graph is allowed ≤10% of `Runtime.maxMemory` and never
+    * more than 500k edges (~250 MB worst case on big heaps; ~214k edges
+    * under Spark's 1g default driver, keeping the worst case ~100 MB). */
+  val driverEdgeLimit: Long = {
+    val bytesPerEdge = 500L
+    math.min(500000L, Runtime.getRuntime.maxMemory() / 10L / bytesPerEdge)
+  }
 
   /** edges: DataFrame with two string columns (endpoint pairs, undirected).
     * Returns (vertex, component) for every vertex incident to an edge.
@@ -48,18 +53,23 @@ object ConnectedComponents {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.mkString(",")}")
 
+    // canonical orientation (u > v, "points at smaller"), deduplicated and
+    // EAGERLY pinned before anything counts or collects it: the input plan
+    // (often an expensive uncached pair join, e.g. the SRP dup-pair join in
+    // Similarity.cosineDupClusters) is computed exactly ONCE — the
+    // small-graph decision count, the driver collect, and the distributed
+    // rounds all read the checkpointed blocks, never the raw plan.
     val canonical = edges
       .select(col(cols(0)).as("a"), col(cols(1)).as("b"))
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-
-    if (smallGraphLimit > 0 && edges.count() <= smallGraphLimit)
-      return driverUnionFind(spark, canonical)
-
-    // canonical orientation: u > v ("points at smaller")
-    var e = canonical
       .distinct()
       .localCheckpoint(true)
+
+    if (smallGraphLimit > 0 && canonical.count() <= smallGraphLimit)
+      return driverUnionFind(spark, canonical)
+
+    var e = canonical
 
     var converged = false
     var iter = 0
@@ -128,7 +138,12 @@ object ConnectedComponents {
       case DoubleType  => Ordering.Double.TotalOrdering
       case other => sys.error(s"unsupported CC vertex type: $other")
     }).asInstanceOf[Ordering[Any]]
-    val pairs = canonical.collect().map(r => (r.get(0), r.get(1)))
+    // partition-streamed narrow collect (NOT a one-shot collect()): the
+    // input is a pinned 2-column relation, so the driver holds the boxed
+    // tuple array plus at most ONE partition of Row wrappers at a time
+    import scala.jdk.CollectionConverters._
+    val pairs = canonical.toLocalIterator().asScala
+      .map(r => (r.get(0), r.get(1))).toArray
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -149,9 +164,13 @@ object ConnectedComponents {
     val schema = StructType(Seq(
       StructField("vertex", dt, nullable = false),
       StructField("component", dt, nullable = false)))
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    // re-parallelize with explicit slices (NOT a LocalRelation): a
+    // createDataFrame(list) result re-enters the cluster as one
+    // LocalRelation serialized whole into EVERY downstream task (~4 MB
+    // tasks at the edge limit — Spark's large-task warning); ~8k rows per
+    // slice keeps each task's payload well under the 1000 KiB guidance.
+    val slices = math.max(1, math.min(1024, rows.size / 8000 + 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, slices), schema)
   }
 
   private def checksum(e: DataFrame): (Long, Long) = {

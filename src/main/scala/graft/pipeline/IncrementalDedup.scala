@@ -125,6 +125,12 @@ object IncrementalDedup {
       .join(liveUrls.select(col("url").as("url_a")), Seq("url_a"), "left_semi")
       .join(liveUrls.select(col("url").as("url_b")), Seq("url_b"), "left_semi")
 
+    // PINNED: the carried-pair union plan (two semi-joins over the whole
+    // previous verified table + the delta verify) is consumed by connected
+    // components, by the merge join, and by the caller reading
+    // Result.verifiedPairs — without the cache it would execute once per
+    // consumer (≥3×; expensive when the carried table is a 100-TB run's
+    // pair population)
     val verifiedAll = carried.unionByName(deltaVerified)
       .groupBy("url_a", "url_b")
       .agg(flatten(collect_set(col("channels"))).as("chs"),
@@ -134,6 +140,7 @@ object IncrementalDedup {
       .withColumn("channels", array_distinct(sort_array(col("chs")))).drop("chs")
       .select("url_a", "url_b", "channels", "n_inter", "n_union", "n_min",
         "jaccard", "containment")
+      .cache()
 
     val clusters = DedupStages.clusters(verifiedAll)
     val merged = DedupStages.mergedClusters(clusters, pagesSrc)
