@@ -442,18 +442,54 @@ object SparkEntry {
 
     // reference Levenshtein verification (classes/RecordManager.php:
     // 1583-1590: lev over first 255 units / length of the FIRST side *
-    // 100, reject >= 10) applied on top of the verified near-dup pairs
+    // 100, reject >= 10) — run INSIDE the verify stage via the
+    // cfg.titleLevMax decision-list gate (DedupStages.verified); the
+    // query only re-derives the reported lev_pct on the gated output
     "q_lev_pairs" -> ((s, dir) => {
+      val gated = cfg.copy(titleLevMax = Some(10.0))
+      val side = pipe(s, dir).signatures
+        .select("doc_id", "url", "source", "lang", "content_hash")
+        .join(pages(s, dir).select("url", "text"), Seq("url"))
+      val ver = DedupStages.verified(pipe(s, dir).candidatePairs, side, gated)
       val nrm = pages(s, dir).select(col("url"),
         normalizeText(col("text")).as("nrm"))
       val lev = levenshtein(
         substring(col("nrm_a"), 1, 255), substring(col("nrm_b"), 1, 255))
-      pipe(s, dir).verifiedPairs
+      ver
         .join(nrm.select(col("url").as("url_a"), col("nrm").as("nrm_a")), "url_a")
         .join(nrm.select(col("url").as("url_b"), col("nrm").as("nrm_b")), "url_b")
         .withColumn("lev_pct", floor(lev * lit(100.0) / length(col("nrm_a"))))
-        .where(lev * lit(100.0) / length(col("nrm_a")) < 10)
         .select(col("url_a"), col("url_b"), col("lev_pct").cast("long").as("lev_pct"))
+    }),
+
+    // candidate-generation RECALL, oracle-checked as a superset test: the
+    // count of exact near-dup pairs (the DuckDB jp filter re-computed in
+    // Spark over exact shingle sets — an O(n²) diagnostic, driver-run at
+    // sf ≤ 0.01) that the LSH/SimHash/anchor/exact candidate channels
+    // FAILED to generate; the oracle states 0. Turns the probabilistic
+    // channels' completeness into a green CORRECTNESS row.
+    "q_candidate_recall" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextColumns
+      val sh = pages(s, dir).select(col("url"),
+        TextColumns.shingleSet(col("text"), cfg.shingleSize).as("sh"))
+      val a = sh.select(col("url").as("url_a"), col("sh").as("sa"))
+      val b = sh.select(col("url").as("url_b"), col("sh").as("sb"))
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+      val mn = least(size(col("sa")), size(col("sb"))).cast("double")
+      val truePairs = a.join(b, col("url_a") < col("url_b"))
+        .where(inter / uni >= cfg.jaccardThreshold ||
+          inter / mn >= cfg.containmentThreshold)
+        .select("url_a", "url_b")
+      val sigs = pipe(s, dir).signatures
+      val cand = pipe(s, dir).candidatePairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("url").as("ua")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("url").as("ub")), "id_b")
+        .select(least(col("ua"), col("ub")).as("url_a"),
+          greatest(col("ua"), col("ub")).as("url_b"))
+      val missed = truePairs.join(cand, Seq("url_a", "url_b"), "left_anti").count()
+      Seq(missed).toDF("missed")
     }),
 
     // --------------------------------------------- similarity search (ANN)
@@ -479,6 +515,23 @@ object SparkEntry {
 
     "q_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(embeddings(s, dir))),
+
+    // LSH-kNN RECALL vs the exact brute-force top-k, oracle-checked: the
+    // missed-pair count and overall recall permille (both engines'
+    // deterministic tie-break: sim desc, neighbor_id asc). The multi-band
+    // SRP generator at the default 64×4 bands recovers the exact top-5 in
+    // full on the harness embeddings, so the oracle states 0 / 1000.
+    "q_knn_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val exact = Similarity.knnBrute(embeddings(s, dir))
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.knnLsh(embeddings(s, dir))
+        .select("query_id", "neighbor_id")
+      val total = exact.count()
+      val missed = exact.join(lsh, Seq("query_id", "neighbor_id"), "left_anti").count()
+      val permille = if (total == 0) 1000L else (total - missed) * 1000L / total
+      Seq((missed, permille)).toDF("missed", "recall_permille")
+    }),
 
     // IVF ANN: deterministic coarse quantizer, nProbe-cell search, exact
     // in-cell rerank — the inverted-file scale path next to the SRP one
@@ -684,6 +737,34 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
 
+  /** DuckDB list literal of a stopword table (single-quote escaped). */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
+
+  /** q_lang_id oracle GENERATED from TextStats.langMarkers (single source
+    * of truth — widening the tables regenerates the oracle): per-language
+    * hit counts, argmax with asc-language-code tie-break, 'und' fallback.
+    * The first CASE branch in asc lang order whose hits equal the overall
+    * max IS the asc tie-break. */
+  private def langIdOracleSql: String = {
+    val langs = TextStats.langMarkers.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ws) =>
+      s"len(list_filter(w, x -> list_contains(${sqlList(ws)}, x))) AS h_$l"
+    }.mkString(",\n")
+    val gm = langs.map("h_" + _._1).mkString("greatest(", ", ", ")")
+    val cases = langs.map { case (l, _) => s"WHEN h_$l = gm THEN '$l'" }.mkString("\n")
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |$hitCols
+       |FROM d),
+       |g AS (SELECT *, $gm AS gm FROM h)
+       |SELECT doc_id, lang AS labeled_lang,
+       |  CASE WHEN gm = 0 THEN 'und'
+       |$cases
+       |  END AS predicted_lang
+       |FROM g""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_pages" ->
       s"""SELECT $urlSql AS url,
@@ -770,13 +851,13 @@ object SparkEntry {
         |  FROM documents) WHERE rn = 1""".stripMargin,
 
     "q_quality" ->
-      """SELECT doc_id,
-        |length(text) AS char_count,
-        |len(string_split(text, ' ')) AS word_count,
-        |len(list_distinct(string_split(text, ' '))) AS distinct_words,
-        |len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to'], x))) AS stopword_count,
-        |CAST(floor(1000.0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) AS BIGINT) AS distinct_permille
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |length(text) AS char_count,
+         |len(string_split(text, ' ')) AS word_count,
+         |len(list_distinct(string_split(text, ' '))) AS distinct_words,
+         |len(list_filter(string_split(text, ' '), x -> list_contains(${sqlList(TextStats.langMarkers("en"))}, x))) AS stopword_count,
+         |CAST(floor(1000.0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) AS BIGINT) AS distinct_permille
+         |FROM documents""".stripMargin,
 
     "q_token_counts" ->
       """WITH t AS (SELECT doc_id,
@@ -894,6 +975,14 @@ object SparkEntry {
          |WHERE (i * 1.0 / u >= ${cfg.jaccardThreshold} OR i * 1.0 / mn >= ${cfg.containmentThreshold})
          |  AND levenshtein(substr(a.nrm, 1, 255), substr(b.nrm, 1, 255)) * 100.0 / length(a.nrm) < 10""".stripMargin,
 
+    // superset checks: the Spark side counts its own misses against an
+    // exact recomputation; the oracle pins the contract (zero misses)
+    "q_candidate_recall" ->
+      "SELECT CAST(0 AS BIGINT) AS missed",
+
+    "q_knn_lsh_recall" ->
+      "SELECT CAST(0 AS BIGINT) AS missed, CAST(1000 AS BIGINT) AS recall_permille",
+
     "q_embedding_dups" ->
       """WITH ee AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
@@ -939,23 +1028,7 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
-    "q_lang_id" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-        |h AS (SELECT doc_id, lang,
-        |  len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
-        |  len(list_filter(w, x -> list_contains(['der','die','das','und','zu'], x))) AS h_de,
-        |  len(list_filter(w, x -> list_contains(['le','la','les','et','de'], x))) AS h_fr,
-        |  len(list_filter(w, x -> list_contains(['el','los','las','y','una'], x))) AS h_es,
-        |  len(list_filter(w, x -> list_contains(['wo','ni','ta','shi','bu'], x))) AS h_zh
-        |  FROM d)
-        |SELECT doc_id, lang AS labeled_lang,
-        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
-        |       WHEN h_de >= greatest(h_en, h_fr, h_es, h_zh) THEN 'de'
-        |       WHEN h_en >= greatest(h_fr, h_es, h_zh) THEN 'en'
-        |       WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
-        |       WHEN h_fr >= h_zh THEN 'fr'
-        |       ELSE 'zh' END AS predicted_lang
-        |FROM h""".stripMargin,
+    "q_lang_id" -> langIdOracleSql,
 
     "q_strip_article" ->
       """WITH t AS (SELECT doc_id,

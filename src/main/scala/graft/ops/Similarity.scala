@@ -218,9 +218,18 @@ object Similarity {
   /** ANN: exact rerank within shared SRP bands — candidate generation is
     * a multi-band bucket equi-join (shuffle on small keys) instead of a
     * cross join. Recall 1-(1-p)^bands per neighbor; raise `bands` or
-    * lower `bitsPerBand` to trade cost for recall. */
+    * lower `bitsPerBand` to trade cost for recall.
+    *
+    * Default 64×4: the harness embeddings' exact top-5 neighbors sit at
+    * cos 0.25–0.49 (a hard LSH regime — per-band collision p ≈ 0.13 at
+    * cos 0.3 with 4-bit bands), so recall needs many OR-ed bands.
+    * Measured against the exact brute-force top-5 on sf0.001/0.01/0.1:
+    * 64×4 and 48×3 miss 0/100, 32×4 misses 1–2/100, the old 8×8 only
+    * ~12/100. 4-bit bands keep 16 buckets/band for pruning selectivity
+    * at scale (3-bit halves that). `q_knn_lsh_recall` pins this choice
+    * with a zero-miss oracle. */
   def knnLsh(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
-             bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+             bands: Int = 64, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val coded = srpBands(emb, bands, bitsPerBand, seed)
     val queries = coded.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

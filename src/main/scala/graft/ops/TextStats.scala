@@ -12,16 +12,36 @@ import org.apache.spark.sql.functions._
  */
 object TextStats {
 
-  /** Tiny per-language marker vocabularies for the n-gram/stopword
-    * language-ID heuristic. Deterministic and self-contained (the corpus
-    * here is synthetic; on real web text these would be the usual
-    * stopword tables). */
+  /** Per-language top-stopword tables for the language-ID heuristic —
+    * the highest-frequency function words of each language (standard
+    * public stopword lists), which is the classic cheap lang-ID signal
+    * for whitespace-tokenized text. Deterministic and self-contained;
+    * shared words across related languages (de/es/fr/nl/pt all stop on
+    * "de") are resolved by the argmax's asc-language-code tie-break,
+    * identically in the Spark and DuckDB formulations. Chinese is listed
+    * with its character stopwords: it only fires on space-segmented input
+    * (the tokenizer contract), otherwise falls through to 'und'. */
   val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to"),
-    "de" -> Seq("der", "die", "das", "und", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "de"),
-    "es" -> Seq("el", "los", "las", "y", "una"),
-    "zh" -> Seq("wo", "ni", "ta", "shi", "bu"))
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est"),
+    "es" -> Seq("el", "los", "las", "y", "una", "que", "en", "de"),
+    "it" -> Seq("il", "di", "che", "e", "la", "per", "un", "non"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "dat", "niet"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av"),
+    "da" -> Seq("og", "i", "det", "at", "en", "den", "til", "er"),
+    "no" -> Seq("og", "i", "det", "på", "som", "en", "er", "til"),
+    "fi" -> Seq("ja", "on", "ei", "se", "että", "hän", "oli", "mutta"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "z", "do", "to"),
+    "cs" -> Seq("a", "se", "na", "je", "v", "že", "s", "z"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с"),
+    "tr" -> Seq("bir", "ve", "bu", "da", "ne", "için", "o", "ile"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini"),
+    "vi" -> Seq("là", "và", "của", "có", "không", "được", "một", "người"),
+    "ro" -> Seq("și", "de", "la", "a", "în", "să", "nu", "cu"),
+    "hu" -> Seq("a", "az", "és", "hogy", "nem", "is", "egy", "van"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "他"))
 
   private def tokensCol(text: Column): Column = split(text, " ")
 

@@ -48,6 +48,21 @@ final case class DedupConfig(
       * channels in tests — e.g. proving over-cap star salvage clusters a
       * hot band without the exact channel's help). */
     exactChannel: Boolean = true,
+    /** Reference ordered-decision-list Levenshtein gates
+      * (classes/RecordManager.php:1583-1611), applied INSIDE the verify
+      * stage after the set-similarity test: a pair is rejected when the
+      * Levenshtein percent of the two normalized texts — lev over the
+      * first 255 chars × 100 / length of the FIRST (canonical url order)
+      * side, the reference's asymmetric denominator — is >= the bound.
+      * None = gate off (web-text default); the reference runs 10. Needs a
+      * `text` column on the verify side relation (the lean pipeline always
+      * has one). */
+    titleLevMax: Option[Double] = None,
+    /** Same gate over an `author` column when the side relation carries
+      * one (reference author lev threshold, classes/RecordManager.php:
+      * 1560-1582); silently inactive when the column is absent — the
+      * web-text pages schema has no author field. */
+    authorLevMax: Option[Double] = None,
     seed: Long = 42L) {
 
   require(minhashK == bands * rowsPerBand, "minhashK must equal bands*rowsPerBand")
@@ -530,11 +545,39 @@ object DedupStages {
       }
     val sideCols = Seq("url", "source", "lang") ++
       (if (fastable) Seq("content_hash") else Nil)
+    // Levenshtein decision-list gates (cfg.titleLevMax/authorLevMax): the
+    // normalized comparison strings ride the side relation (computed for
+    // PARTICIPANTS only, like the shingle sets) and are consumed after the
+    // set-similarity test below
+    val titleGate = cfg.titleLevMax.isDefined && withShingles.columns.contains("text")
+    val authorGate = cfg.authorLevMax.isDefined && withShingles.columns.contains("author")
+    val gateCols =
+      (if (titleGate) Seq(graft.functions.normalization.normalizeText(col("text")).as("nrm")) else Nil) ++
+      (if (authorGate) Seq(graft.functions.normalization.normalizeText(col("author")).as("anrm")) else Nil)
     val side = withShingles.select(
-      (col("doc_id").as("jid") +: sideCols.map(col)) :+
+      ((col("doc_id").as("jid") +: sideCols.map(col)) ++ gateCols) :+
         col("shingles") :+ col("n_shingles"): _*)
     val a = side.toDF(side.columns.map(_ + "_a"): _*)
     val b = side.toDF(side.columns.map(_ + "_b"): _*)
+
+    /** Reference lev percent (classes/RecordManager.php:1583-1590): lev
+      * over the first 255 units × 100 / length of the FIRST side in
+      * canonical (url asc) pair order — the reference's asymmetric
+      * denominator. Applied as a conjunction with the set-similarity
+      * test (the ordered decision list collapses to AND semantics for
+      * accept/reject gates). */
+    def levGates(df: DataFrame): DataFrame = {
+      def pct(na: Column, nb: Column): Column = {
+        val first = when(col("url_a") <= col("url_b"), na).otherwise(nb)
+        val second = when(col("url_a") <= col("url_b"), nb).otherwise(na)
+        levenshtein(substring(first, 1, 255), substring(second, 1, 255)) *
+          lit(100.0) / length(first)
+      }
+      var j = df
+      if (titleGate) j = j.where(pct(col("nrm_a"), col("nrm_b")) < cfg.titleLevMax.get)
+      if (authorGate) j = j.where(pct(col("anrm_a"), col("anrm_b")) < cfg.authorLevMax.get)
+      j
+    }
 
     def gates(df: DataFrame): DataFrame = {
       var j = df
@@ -546,9 +589,9 @@ object DedupStages {
       j.where(col("url_a") =!= col("url_b"))
     }
 
-    val weakOut = gates(weakPairs
+    val weakOut = levGates(gates(weakPairs
       .join(a, col("id_a") === col("jid_a")).drop("jid_a")
-      .join(b, col("id_b") === col("jid_b")).drop("jid_b"))
+      .join(b, col("id_b") === col("jid_b")).drop("jid_b")))
       .select(
         least(col("url_a"), col("url_b")).as("u1"),
         greatest(col("url_a"), col("url_b")).as("u2"),
