@@ -55,19 +55,28 @@ object DeltaLog {
     list(root, table).map(_.batchId).maxOption.map(_ + 1L).getOrElse(0L)
 
   /** Append `df` as the delta of `batchId`, stamping every row with
-    * `_batch = batchId`. Idempotent per batchId. Returns rows written. */
-  def append(df: DataFrame, root: String, table: String, batchId: Long): Long =
+    * `_batch = batchId`. Idempotent per batchId. Returns rows written.
+    *
+    * `partitionCols` (e.g. a url-hash `_ub` bucket the caller attached)
+    * directory-partitions the delta, so readers filtering on those columns
+    * get parquet partition pruning — the mechanism behind StreamingDedup's
+    * touched-bucket-only per-batch state reads. The same columns must be
+    * used for every delta of a table (mixed layouts won't union). */
+  def append(df: DataFrame, root: String, table: String, batchId: Long,
+             partitionCols: Seq[String] = Nil): Long =
     writeDelta(df.withColumn("_batch", lit(batchId)), root, table,
       dirName = s"d$batchId", batchId = batchId,
-      replace = list(root, table).filterNot(_.dir == s"d$batchId"))
+      replace = list(root, table).filterNot(_.dir == s"d$batchId"),
+      partitionCols = partitionCols)
 
   /** Replace the whole log with `resolved` (which must RETAIN each row's
     * original `_batch` stamp — liveness joins depend on it). */
   def compact(spark: SparkSession, root: String, table: String,
-              resolved: DataFrame, upToBatch: Long): Long = {
+              resolved: DataFrame, upToBatch: Long,
+              partitionCols: Seq[String] = Nil): Long = {
     val old = list(root, table)
     val rows = writeDelta(resolved, root, table, dirName = s"c$upToBatch",
-      batchId = upToBatch, replace = Nil)
+      batchId = upToBatch, replace = Nil, partitionCols = partitionCols)
     // old dirs are unreferenced now; best-effort cleanup
     old.filterNot(_.dir == s"c$upToBatch")
       .foreach(e => deleteRecursive(Paths.get(root, table, e.dir)))
@@ -76,15 +85,16 @@ object DeltaLog {
 
   private def writeDelta(df: DataFrame, root: String, table: String,
                          dirName: String, batchId: Long,
-                         replace: Seq[Entry]): Long = {
+                         replace: Seq[Entry],
+                         partitionCols: Seq[String] = Nil): Long = {
     val tableDir = Paths.get(root, table)
     Files.createDirectories(tableDir)
     val tmp = Paths.get(root, table, s".tmp-${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    StorageFormat.write(df, tmp.toString, partitionCols)
     val dst = tableDir.resolve(dirName)
     deleteRecursive(dst)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    val rows = df.sparkSession.read.parquet(dst.toString).count()
+    val rows = StorageFormat.read(df.sparkSession, dst.toString).count()
     writeManifest(root, table, replace :+ Entry(dirName, rows, batchId))
     rows
   }
@@ -95,7 +105,7 @@ object DeltaLog {
     val entries = list(root, table)
     if (entries.isEmpty) None
     else Some(entries
-      .map(e => spark.read.parquet(Paths.get(root, table, e.dir).toString))
+      .map(e => StorageFormat.read(spark, Paths.get(root, table, e.dir).toString))
       .reduce(_ unionByName _))
   }
 

@@ -75,6 +75,60 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(StreamingDedup.resolvedSignatures(spark, stateDir).get.count() == 4)
   }
 
+  test("bucketed state prunes per-batch reads: a one-bucket batch reads fewer rows than unbucketed, same clusters") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val cfg = DedupConfig()
+    // batch 1: 200 distinct-content docs spread across url buckets;
+    // batch 2: ONE new doc duplicating doc 7 — touches one url bucket
+    // and ~half the probe partitions (one doc's ~44 probe keys over 64
+    // partitions), so its reads must undercut the no-pruning layout
+    val seed = (0 until 200).map(i => p(s"https://s$i.example.com/$i",
+      s"unique page number $i body alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+    val dup = Seq(p("https://dup.example.com/x",
+      "unique page number 7 body alpha7 beta7 gamma7 delta7 epsilon7 zeta7 eta7 theta7", ts = 9))
+
+    /** records read from file sources during batch 2, at the given bucket
+      * count (fresh state dir per run; listener drained by quiescence). */
+    def run(nB: Int): (Long, Map[String, String]) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-bkt$nB").toString
+      StreamingDedup.processBatch(spark, seed.toDF(), dir, cfg,
+        batchId = 0L, compactEvery = 0, stateBuckets = nB)
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          acc.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        StreamingDedup.processBatch(spark, dup.toDF(), dir, cfg,
+          batchId = 1L, compactEvery = 0, stateBuckets = nB)
+        // drain the async listener bus: wait until the counter is stable
+        var last = -1L
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val now = acc.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      val clusters = graft.io.TableIO.read(spark, dir, "clusters")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      (acc.get, clusters)
+    }
+
+    val (readsPruned, cPruned) = run(64)
+    val (readsFull, cFull) = run(1)
+    assert(cPruned == cFull, "bucket layout must not change the clusters")
+    assert(cPruned.values.toSet.size == 1 && cPruned.keySet ==
+      Set("https://s7.example.com/7", "https://dup.example.com/x"))
+    // the batch touches 1 of 64 url buckets and ~half the probe
+    // partitions: the pruned run must read meaningfully fewer rows than
+    // the single-bucket (no-pruning) layout of the SAME state
+    assert(readsPruned < readsFull * 7 / 10,
+      s"expected bucket pruning to cut batch-2 reads: pruned=$readsPruned full=$readsFull")
+  }
+
   test("compaction preserves state: many small batches with compactEvery=2 still match the cold run") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft-stream-c").toString
