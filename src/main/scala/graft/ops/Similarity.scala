@@ -172,38 +172,115 @@ object Similarity {
       cosineDupPairs(emb, threshold, bands, bitsPerBand, seed, bucketCap))
       .select(col("vertex").as("vec_id"), col("component"))
 
-  /** IVF-style ANN: a deterministic coarse quantizer (nCentroids seed
-    * vectors, min-id choice) partitions the corpus into cells with ONE
-    * broadcast argmin pass — O(n·nCentroids) dots, no shuffle of vectors;
-    * queries probe their nProbe nearest cells and exact-rerank inside
-    * them. The inverted-file layout is the classic embedding scale path:
-    * cell assignment is a partition key, so at 100 TB each cell is a
-    * co-located partition and a query touches nProbe/nCentroids of the
-    * corpus. Recall grows with nProbe (nProbe = nCentroids ≡ brute force). */
+  /** Deterministic sampled k-means fit for the IVF coarse quantizer.
+    * Sample = the `maxSample` smallest vec_ids (a fixed, order-stable
+    * subset — at 10¹² rows swap in pmod(xxhash64(vec_id), n)=0 sampling;
+    * either way the fit is a driver-side O(sample·k·iters) loop on tiny
+    * model state). Init = farthest-point (maximin) from the first sample
+    * vector; `iters` Lloyd rounds under cosine distance with every tie
+    * broken toward the LOWEST centroid index and an empty cell keeping
+    * its previous centroid — fully deterministic (fixed summation order,
+    * no RNG), so the same data always yields the same cells. */
+  private[graft] def fitCentroids(sample: Array[Array[Double]], k: Int,
+                                  iters: Int): Seq[Seq[Double]] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -1.0 else d / math.sqrt(na * nb)
+    }
+    val n = sample.length
+    val kk = math.min(k, n)
+    // maximin init: greedily add the point with the smallest max-cosine
+    // (= farthest) to the chosen set; ties -> lowest sample index
+    val cents = scala.collection.mutable.ArrayBuffer(sample(0).clone())
+    while (cents.size < kk) {
+      var bestIdx = -1; var bestScore = Double.MaxValue
+      var i = 0
+      while (i < n) {
+        var nearest = -1.0
+        cents.foreach(c => { val s = cos(sample(i), c); if (s > nearest) nearest = s })
+        if (nearest < bestScore) { bestScore = nearest; bestIdx = i }
+        i += 1
+      }
+      cents += sample(bestIdx).clone()
+    }
+    val dim = sample(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestS = -2.0
+        var c = 0
+        while (c < kk) {
+          val s = cos(sample(i), cents(c))
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += sample(i)(d); d += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val m = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { m(d) = sums(c)(d) / counts(c); d += 1 }
+          cents(c) = m
+        } // empty cell: keep previous centroid
+        c += 1
+      }
+      it += 1
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** IVF-style ANN: a deterministic sampled k-means coarse quantizer
+    * partitions the corpus into cells with ONE broadcast argmax pass —
+    * O(n·nCentroids) dots, no shuffle of vectors; queries probe their
+    * nProbe nearest cells and exact-rerank inside them. The inverted-file
+    * layout is the classic embedding scale path: cell assignment is a
+    * partition key, so at 100 TB each cell is a co-located partition and
+    * a query touches nProbe/nCentroids of the corpus. Recall grows with
+    * nProbe (nProbe = nCentroids ≡ brute force); cell balance comes from
+    * the k-means fit (SimilaritySpec bounds max-cell/mean-cell).
+    *
+    * Caveat: when joining this result against another derivation of the
+    * SAME uncached file-source DataFrame instance (e.g. knnBrute over the
+    * identical `emb` val), Spark's self-join deduplication can corrupt
+    * lambda-bound attributes (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — pass
+    * each call its own `spark.read` (or a cached frame) instead. */
   def knnIvf(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
-             nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+             nCentroids: Int = 16, nProbe: Int = 4,
+             kmeansIters: Int = 10, maxSample: Int = 4096): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     if (base.isEmpty) // empty quantizer would build sequence(0,-1) = [0,-1]
       return base.select(col("vec_id").as("query_id"), lit(0L).as("rank"),
         col("vec_id").as("neighbor_id"))
-    // deterministic coarse centroids: the nCentroids smallest vec_ids
-    // (stand-in for a k-means fit — the assignment/probing plumbing is
-    // identical and fully deterministic for the oracle). The quantizer is
-    // tiny model state: collected once, shipped as a literal, so cell
-    // assignment is a pure map-side expression — zero shuffle.
-    val cent = base.orderBy("vec_id").limit(nCentroids).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-    val cvs = typedLit(cent.map(_._2))
-    val cids = typedLit(cent.map(_._1))
-    val scoredCells = array_sort(transform(sequence(lit(0), lit(cent.size - 1)), i =>
-      struct((-cosine(col("v"), element_at(cvs, i + 1))).as("d"),
-        element_at(cids, i + 1).as("cent_id"))))
+    // fit on the driver over a deterministic sample; centroids are tiny
+    // model state shipped as ONE literal, so cell assignment is a pure
+    // map-side expression — zero shuffle
+    val sample = base.orderBy("vec_id").limit(maxSample).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cent = fitCentroids(sample, nCentroids, kmeansIters)
+    val cvs = typedLit(cent)
+    // cell scores parameterized over the vector column: the query side is
+    // its OWN projection of `emb` (distinct column names), so the cell
+    // join below is a clean self-join — sharing one projected frame
+    // between both sides broke attribute resolution on file sources
+    def cells(v: Column) = array_sort(transform(sequence(lit(0), lit(cent.size - 1)), i =>
+      struct((-cosine(v, element_at(cvs, i + 1))).as("d"),
+        i.cast("long").as("cent_id"))))
     val assigned = base.withColumn("cell",
-      scoredCells.getItem(0).getField("cent_id"))
-    val queries = base.where(col("vec_id") < nQueries)
-      .withColumn("cell", explode(transform(slice(scoredCells, 1, nProbe),
+      cells(col("v")).getItem(0).getField("cent_id"))
+    val queries = emb.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv"))
+      .where(col("query_id") < nQueries)
+      .withColumn("cell", explode(transform(slice(cells(col("qv")), 1, nProbe),
         s => s.getField("cent_id"))))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
     val scored = assigned.join(queries, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -213,6 +290,23 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** The IVF quantizer's cell assignment alone: (vec_id, cell) under the
+    * same deterministic k-means fit knnIvf uses — the surface the cell-
+    * balance test (and any partition-layout consumer) reads. */
+  def ivfCells(emb: DataFrame, nCentroids: Int = 16, kmeansIters: Int = 10,
+               maxSample: Int = 4096): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sample = base.orderBy("vec_id").limit(maxSample).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cent = fitCentroids(sample, nCentroids, kmeansIters)
+    val cvs = typedLit(cent)
+    val scoredCells = array_sort(transform(sequence(lit(0), lit(cent.size - 1)), i =>
+      struct((-cosine(col("v"), element_at(cvs, i + 1))).as("d"),
+        i.cast("long").as("cent_id"))))
+    base.select(col("vec_id"),
+      scoredCells.getItem(0).getField("cent_id").as("cell"))
   }
 
   /** ANN: exact rerank within shared SRP bands — candidate generation is

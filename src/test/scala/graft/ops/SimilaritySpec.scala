@@ -75,6 +75,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == 1L)
   }
 
+  /** Clustered fixture for the IVF quantizer: 10 well-separated centers,
+    * 100 jittered members each — the workload IVF exists for (true
+    * neighbors share a cell). */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(23)
+    val dim = 32
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    (0 until 1000).map { i =>
+      val c = centers(i % 10)
+      i.toLong -> c.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.1f)
+    }.toDF("vec_id", "embedding").cache()
+  }
+
+  test("ivfCells: the k-means quantizer yields balanced, non-degenerate cells") {
+    val sizes = Similarity.ivfCells(clustered, nCentroids = 10)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(sizes.length >= 8, s"only ${sizes.length} of 10 cells populated")
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.max <= 3 * mean,
+      s"mega-cell: max ${sizes.max} vs mean $mean — quantizer didn't spread the data")
+  }
+
+  test("knnIvf: k-means cells give >=0.9 recall vs brute force at nProbe=4 on clustered data") {
+    val exact = Similarity.knnBrute(clustered, nQueries = 20, k = 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.knnIvf(clustered, nQueries = 20, k = 5,
+      nCentroids = 10, nProbe = 4)
+      .select("query_id", "neighbor_id")
+    val total = exact.count()
+    val hit = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(total == 100L)
+    assert(hit >= 90L, s"IVF recall $hit/$total below the 0.9 floor")
+  }
+
   test("SRP candidate generation shuffles NO array column (vectors join back only for the rerank)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
