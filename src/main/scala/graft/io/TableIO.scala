@@ -81,7 +81,7 @@ object TableIO {
     val spark = df.sparkSession
     val tmp = Paths.get(root, s"$stage.tmp-${java.util.UUID.randomUUID}")
     val dst = dataDir(root, stage)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    StorageFormat.write(df, tmp.toString)
     // Invalidate the OLD manifest before touching the data dir: a crash
     // anywhere between here and writeManifest can then only yield
     // data-without-manifest (= uncommitted, recomputed on resume), never
@@ -90,7 +90,7 @@ object TableIO {
     deleteRecursive(dst)
     Files.createDirectories(dst.getParent)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    val back = spark.read.parquet(dst.toString)
+    val back = StorageFormat.read(spark, dst.toString)
     val rows = back.count()
     writeManifest(root, Manifest(stage, configHash, inputFingerprint, rows,
       snapshotId = s"$stage-$configHash-$inputFingerprint"))
@@ -98,7 +98,7 @@ object TableIO {
   }
 
   def read(spark: SparkSession, root: String, stage: String): DataFrame =
-    spark.read.parquet(dataDir(root, stage).toString)
+    StorageFormat.read(spark, dataDir(root, stage).toString)
 
   /** Run `compute` unless a current committed copy exists (resume path). */
   def stage(spark: SparkSession, root: Option[String], stageName: String,
