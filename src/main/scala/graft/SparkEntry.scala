@@ -361,6 +361,27 @@ object SparkEntry {
         .select("url", "cluster_id")
     }),
 
+    // STREAMING == cold-run equivalence, ORACLE-CHECKED: the snapshot
+    // arrives as two micro-batch upserts folded into bucket-partitioned
+    // delta-log state (graft.streaming.StreamingDedup.processBatch — the
+    // §2.9 late-data re-entry surface); the resulting clusters must equal
+    // DuckDB's exact connected components over the full snapshot (same
+    // oracle as q_clusters). Upsert-overwrite and compaction semantics are
+    // covered by StreamingDedupSpec; here the batches partition the
+    // snapshot so the cold oracle applies verbatim.
+    "q_streaming_clusters" -> ((s, dir) => {
+      import graft.streaming.StreamingDedup
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-q").toString
+      val pgs = pages(s, dir)
+      val id = regexp_extract(col("url"), "(\\d+)$", 1).cast("long")
+      StreamingDedup.processBatch(s, pgs.where(id % 2 === 0), stateDir, cfg,
+        batchId = 0L)
+      StreamingDedup.processBatch(s, pgs.where(id % 2 =!= 0), stateDir, cfg,
+        batchId = 1L)
+        .clusters.select("url", "cluster_id")
+    }),
+
     // reference-gated verification: lang equality (format gate,
     // classes/RecordManager.php:1489-1497) + cross-source only
     // (classes/RecordManager.php:1346)
@@ -910,6 +931,18 @@ object SparkEntry {
          |  AND same_lang AND cross_src""".stripMargin,
 
     "q_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |e AS (SELECT url_a AS u, url_b AS v FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}
+         |   OR i * 1.0 / mn >= ${cfg.containmentThreshold}),
+         |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         |reach(a, b) AS (SELECT u, v FROM sym
+         |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u WHERE r.a <> s.v)
+         |SELECT a AS url, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+    // two streamed upsert batches folded through the bucket-partitioned
+    // delta-log state must land on the same exact components as DuckDB's
+    // cold full-snapshot clustering
+    "q_streaming_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
          |e AS (SELECT url_a AS u, url_b AS v FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}
          |   OR i * 1.0 / mn >= ${cfg.containmentThreshold}),
