@@ -370,6 +370,7 @@ object SparkEntry {
     // covered by StreamingDedupSpec; here the batches partition the
     // snapshot so the cold oracle applies verbatim.
     "q_streaming_clusters" -> ((s, dir) => {
+      import s.implicits._
       import graft.streaming.StreamingDedup
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft-stream-q").toString
@@ -377,9 +378,17 @@ object SparkEntry {
       val id = regexp_extract(col("url"), "(\\d+)$", 1).cast("long")
       StreamingDedup.processBatch(s, pgs.where(id % 2 === 0), stateDir, cfg,
         batchId = 0L)
-      StreamingDedup.processBatch(s, pgs.where(id % 2 =!= 0), stateDir, cfg,
-        batchId = 1L)
+      val out = StreamingDedup.processBatch(s, pgs.where(id % 2 =!= 0),
+          stateDir, cfg, batchId = 1L)
         .clusters.select("url", "cluster_id")
+        // materialize the (duplicate-population-sized) result so the
+        // state dir can be deleted before the caller consumes the frame
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(stateDir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      out.toDF("url", "cluster_id")
     }),
 
     // reference-gated verification: lang equality (format gate,

@@ -90,7 +90,15 @@ object DeltaLog {
     val tableDir = Paths.get(root, table)
     Files.createDirectories(tableDir)
     val tmp = Paths.get(root, table, s".tmp-${java.util.UUID.randomUUID}")
-    StorageFormat.write(df, tmp.toString, partitionCols)
+    // empty-delta guard: a PARTITIONED write of an empty frame produces
+    // no part files at all, and the read-back below then throws
+    // UNABLE_TO_INFER_SCHEMA (verified on Spark 4.1.2). A FLAT empty
+    // write keeps a schema-bearing part file — the partition columns
+    // simply stay data columns of the empty file, which unions cleanly
+    // with partitioned sibling deltas (same names/types). Zero-dirty
+    // micro-batches (pure redeliveries, unchanged re-crawls) hit this.
+    val parts = if (partitionCols.nonEmpty && df.isEmpty) Nil else partitionCols
+    StorageFormat.write(df, tmp.toString, parts)
     val dst = tableDir.resolve(dirName)
     deleteRecursive(dst)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)

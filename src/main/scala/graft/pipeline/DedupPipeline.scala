@@ -517,8 +517,14 @@ object DedupStages {
     * the side relation; without one, exact pairs flow through the full
     * path unchanged. */
   def verified(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    // the fast path derives everything from the a side, so it cannot
+    // evaluate the Levenshtein decision-list gates (identical TEXT does
+    // not imply the gate passes: an empty-normalizing text must REJECT,
+    // and an author column may differ between byte-identical texts) —
+    // with a lev gate configured, every pair takes the full path
     val fastable = sigs.columns.contains("content_hash") &&
-      pairs.columns.contains("channels")
+      pairs.columns.contains("channels") &&
+      cfg.titleLevMax.isEmpty && cfg.authorLevMax.isEmpty
     val isExact = array_contains(col("channels"), "exact")
     val weakPairs = if (fastable) pairs.where(!isExact) else pairs
     val exactPairs = if (fastable) pairs.where(isExact)
@@ -628,6 +634,22 @@ object DedupStages {
 
     weakOut.unionByName(exactOut)
   }
+
+  /** Merge carried-over and freshly-verified pair rows into one verified
+    * table: a pair rediscovered by the delta pass (two unchanged docs in
+    * a dirty bucket) appears in both inputs — union the channel
+    * provenance, keep one stats row. Shared by the incremental and
+    * streaming passes (their equivalence specs assert the same contract). */
+  def foldVerified(carried: DataFrame, delta: DataFrame): DataFrame =
+    carried.unionByName(delta)
+      .groupBy("url_a", "url_b")
+      .agg(flatten(collect_set(col("channels"))).as("chs"),
+        F.first("n_inter").as("n_inter"), F.first("n_union").as("n_union"),
+        F.first("n_min").as("n_min"), F.first("jaccard").as("jaccard"),
+        F.first("containment").as("containment"))
+      .withColumn("channels", array_distinct(sort_array(col("chs")))).drop("chs")
+      .select("url_a", "url_b", "channels", "n_inter", "n_union", "n_min",
+        "jaccard", "containment")
 
   // -------------------------------------------------------------- clusters
 

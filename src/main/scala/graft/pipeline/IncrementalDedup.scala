@@ -131,16 +131,7 @@ object IncrementalDedup {
     // Result.verifiedPairs — without the cache it would execute once per
     // consumer (≥3×; expensive when the carried table is a 100-TB run's
     // pair population)
-    val verifiedAll = carried.unionByName(deltaVerified)
-      .groupBy("url_a", "url_b")
-      .agg(flatten(collect_set(col("channels"))).as("chs"),
-        F.first("n_inter").as("n_inter"), F.first("n_union").as("n_union"),
-        F.first("n_min").as("n_min"), F.first("jaccard").as("jaccard"),
-        F.first("containment").as("containment"))
-      .withColumn("channels", array_distinct(sort_array(col("chs")))).drop("chs")
-      .select("url_a", "url_b", "channels", "n_inter", "n_union", "n_min",
-        "jaccard", "containment")
-      .cache()
+    val verifiedAll = DedupStages.foldVerified(carried, deltaVerified).cache()
 
     val clusters = DedupStages.clusters(verifiedAll)
     val merged = DedupStages.mergedClusters(clusters, pagesSrc)

@@ -182,8 +182,8 @@ object StreamingDedup {
     * prev-state reads prune to the url buckets the batch touches and the
     * LSH-bucket partitions its dirty docs probe. */
   private def upsertDelta(spark: SparkSession, b: DataFrame, stateDir: String,
-                          cfg: DedupConfig, bid: Long,
-                          nB: Int): IncrementalDedup.DeltaResult = {
+                          cfg: DedupConfig, bid: Long, nB: Int)
+      : (IncrementalDedup.DeltaResult, Seq[DataFrame]) = {
     val before = Some(bid)
 
     // dirty = batch rows that are new or content-changed vs the latest
@@ -270,16 +270,7 @@ object StreamingDedup {
     // PINNED: consumed by connected components, the merge join, and the
     // caller reading Result.verifiedPairs. The fold dedupes pairs the
     // delta pass rediscovered between unchanged docs in a dirty bucket.
-    val verifiedAll = carried.unionByName(deltaVerified)
-      .groupBy("url_a", "url_b")
-      .agg(flatten(collect_set(col("channels"))).as("chs"),
-        first("n_inter").as("n_inter"), first("n_union").as("n_union"),
-        first("n_min").as("n_min"), first("jaccard").as("jaccard"),
-        first("containment").as("containment"))
-      .withColumn("channels", array_distinct(sort_array(col("chs")))).drop("chs")
-      .select("url_a", "url_b", "channels", "n_inter", "n_union", "n_min",
-        "jaccard", "containment")
-      .cache()
+    val verifiedAll = DedupStages.foldVerified(carried, deltaVerified).cache()
 
     val clusters = DedupStages.clusters(verifiedAll).cache()
     // merge fold: page text only from cluster members' url buckets
@@ -299,12 +290,16 @@ object StreamingDedup {
         .unionByName(deltaProbes.select("channel", "bucket_key", "doc_id", "tag")))
       .getOrElse(deltaProbes.select("channel", "bucket_key", "doc_id", "tag"))
 
-    IncrementalDedup.DeltaResult(
+    (IncrementalDedup.DeltaResult(
       DedupPipeline.Result(sigsAll, probesAll, deltaPairs, dropped, verifiedAll,
         clusters, merged),
       deltaSignatures = deltaSigs,
       deltaProbes = deltaProbes.select("channel", "bucket_key", "doc_id", "tag"),
-      deltaVerified = deltaVerified)
+      deltaVerified = deltaVerified),
+      // per-batch cache pins, released by processBatch after the output
+      // commits — without this a long-running stream accumulates cached
+      // plans/blocks in the CacheManager without bound
+      Seq(deltaProbes, deltaPairs, verifiedAll, clusters))
   }
 
   /** Fold one upsert batch into the persisted state; returns the new
@@ -334,7 +329,7 @@ object StreamingDedup {
     DeltaLog.append(b.withColumn("_ub", urlBucket(nB)), stateDir, "pages", bid,
       partitionCols = Seq("_ub"))
 
-    val result =
+    val (result, pins) =
       if (!havePrev) {
         // cold start: the whole batch is the delta
         val r = DedupPipeline.run(spark, b, cfg)
@@ -343,16 +338,16 @@ object StreamingDedup {
         DeltaLog.append(r.probes.withColumn("_ub", probeBucket(nB)),
           stateDir, "probes", bid, partitionCols = Seq("_ub"))
         DeltaLog.append(r.verifiedPairs, stateDir, "verified_pairs", bid)
-        r
+        (r, Seq(r.signatures, r.verifiedPairs, r.candidatePairs))
       } else {
-        val d = upsertDelta(spark, b, stateDir, cfg, bid, nB)
+        val (d, p) = upsertDelta(spark, b, stateDir, cfg, bid, nB)
         // O(dirty) state writes: ONLY this pass's increments are appended
         DeltaLog.append(d.deltaSignatures.withColumn("_ub", urlBucket(nB)),
           stateDir, "signatures", bid, partitionCols = Seq("_ub"))
         DeltaLog.append(d.deltaProbes.withColumn("_ub", probeBucket(nB)),
           stateDir, "probes", bid, partitionCols = Seq("_ub"))
         DeltaLog.append(d.deltaVerified, stateDir, "verified_pairs", bid)
-        d.full
+        (d.full, p)
       }
 
     // derived outputs: full commits, bounded by the duplicate population
@@ -389,6 +384,11 @@ object StreamingDedup {
       DeltaLog.compact(spark, stateDir, "verified_pairs", ver, bid)
       sigsStamped.unpersist()
     }
+
+    // release this batch's cache pins: outputs are committed, and the
+    // returned Result reads resolved views from the log (candidatePairs /
+    // droppedBuckets recompute lazily if a caller consumes them)
+    pins.foreach(_.unpersist())
 
     DedupPipeline.Result(
       resolvedSignatures(spark, stateDir).get,

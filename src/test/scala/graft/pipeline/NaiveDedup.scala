@@ -20,7 +20,38 @@ object NaiveDedup {
   final case class Params(shingleSize: Int = 3, threshold: Double = 0.7,
                           containment: Double = 0.9,
                           requireSameLang: Boolean = false,
-                          crossSourceOnly: Boolean = false)
+                          crossSourceOnly: Boolean = false,
+                          titleLevMax: Option[Double] = None)
+
+  /** Plain DP Levenshtein — independent of Spark's builtin. */
+  private def lev(a: String, b: String): Int = {
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    for (j <- 0 to b.length) prev(j) = j
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      Array.copy(cur, 0, prev, 0, b.length + 1)
+    }
+    prev(b.length)
+  }
+
+  /** Reference lev-percent gate over the NORMALIZED texts in canonical
+    * (url asc) order: lev over the first 255 units × 100 / length of the
+    * FIRST side's full normalized text, accepted when < max. An empty
+    * first side rejects (the Spark formulation's ÷0 → NaN/∞ comparison
+    * is false). */
+  private def levGateOk(aUrl: String, aText: String, bUrl: String,
+                        bText: String, max: Double): Boolean = {
+    val (ft, st) =
+      if (aUrl <= bUrl) (aText, bText) else (bText, aText)
+    val fn = graft.text.Normalize.normalize(ft)
+    val sn = graft.text.Normalize.normalize(st)
+    fn.nonEmpty &&
+      lev(fn.take(255), sn.take(255)) * 100.0 / fn.length < max
+  }
 
   /** All verified duplicate pairs (url_a < url_b). */
   def duplicatePairs(pages: Seq[Page], p: Params = Params()): Set[(String, String)] = {
@@ -34,7 +65,8 @@ object NaiveDedup {
         val inter = (sa & sb).size
         val jac = inter.toDouble / (sa.size + sb.size - inter)
         val cont = inter.toDouble / math.min(sa.size, sb.size)
-        if (jac >= p.threshold || cont >= p.containment) {
+        if ((jac >= p.threshold || cont >= p.containment) &&
+            p.titleLevMax.forall(m => levGateOk(a.url, a.text, b.url, b.text, m))) {
           val (u, v) = if (a.url < b.url) (a.url, b.url) else (b.url, a.url)
           out += ((u, v))
         }

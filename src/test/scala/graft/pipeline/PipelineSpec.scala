@@ -69,6 +69,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(sameHostPairs.subsetOf(ungated))
   }
 
+  test("reference Levenshtein gate: pipeline == naive oracle with titleLevMax on, and the gate is non-vacuous") {
+    val max = 10.0 // the reference's threshold (RecordManager.php:1583-1590)
+    val got = pipelinePairs(DedupConfig(titleLevMax = Some(max)))
+    val oracle = NaiveDedup.duplicatePairs(corpus.pages,
+      NaiveDedup.Params(titleLevMax = Some(max)))
+    assert(got == oracle,
+      s"extra=${(got -- oracle).take(3)} missing=${(oracle -- got).take(3)}")
+    // the gate must actually reject something on this corpus, or the
+    // equivalence is vacuous
+    val ungated = NaiveDedup.duplicatePairs(corpus.pages, NaiveDedup.Params())
+    assert(oracle.subsetOf(ungated))
+    assert(oracle != ungated,
+      s"lev gate at $max rejected nothing (${ungated.size} pairs) — tighten the test threshold")
+  }
+
   test("planted classes: exact+near+chain+substr all clustered; negatives not; hot-band one cluster") {
     val r = DedupPipeline.run(spark, pagesDf, DedupConfig())
     val clusters = r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap

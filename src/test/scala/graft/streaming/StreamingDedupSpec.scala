@@ -129,6 +129,30 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"expected bucket pruning to cut batch-2 reads: pruned=$readsPruned full=$readsFull")
   }
 
+  test("zero-dirty micro-batch (unchanged re-crawl / redelivery) is a safe no-op") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-stream-z").toString
+    val cfg = DedupConfig()
+    val batch1 = Seq(
+      p("https://a.example.com/1", "shared duplicate body words alpha beta gamma delta epsilon zeta"),
+      p("https://b.example.com/2", "shared duplicate body words alpha beta gamma delta epsilon zeta"),
+      p("https://c.example.com/3", "entirely different third page content with its own words here"))
+    StreamingDedup.processBatch(spark, batch1.toDF(), stateDir, cfg, batchId = 0L)
+    // batch 2 re-delivers the SAME content (newer ts): zero dirty docs —
+    // empty bucketed deltas must append cleanly (the partitioned write of
+    // an empty frame used to produce an unreadable delta directory)
+    val batch2 = batch1.map(x => x.copy(warc_ts = new java.sql.Timestamp(1700000009000L)))
+    val r = StreamingDedup.processBatch(spark, batch2.toDF(), stateDir, cfg, batchId = 1L)
+    import graft.io.DeltaLog
+    val sigRows = DeltaLog.list(stateDir, "signatures")
+      .filter(_.batchId == 1L).map(_.rows).sum
+    assert(sigRows == 0, "no dirty docs -> empty signature delta")
+    val got = graft.io.TableIO.read(spark, stateDir, "clusters")
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(got.keySet == Set("https://a.example.com/1", "https://b.example.com/2"))
+    assert(r.signatures.count() == 3)
+  }
+
   test("compaction preserves state: many small batches with compactEvery=2 still match the cold run") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft-stream-c").toString
