@@ -300,6 +300,10 @@ object Similarity {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val sample = base.orderBy("vec_id").limit(maxSample).collect()
       .map(_.getSeq[Double](1).toArray)
+    // empty-input guard (knnIvf has the same one): fitCentroids seeds
+    // from sample(0) and would throw on a zero-row frame
+    if (sample.isEmpty)
+      return base.select(col("vec_id"), lit(0L).as("cell")).limit(0)
     val cent = fitCentroids(sample, nCentroids, kmeansIters)
     val cvs = typedLit(cent)
     val scoredCells = array_sort(transform(sequence(lit(0), lit(cent.size - 1)), i =>

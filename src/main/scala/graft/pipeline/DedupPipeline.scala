@@ -48,20 +48,24 @@ final case class DedupConfig(
       * channels in tests — e.g. proving over-cap star salvage clusters a
       * hot band without the exact channel's help). */
     exactChannel: Boolean = true,
-    /** Reference ordered-decision-list Levenshtein gates
-      * (classes/RecordManager.php:1583-1611), applied INSIDE the verify
-      * stage after the set-similarity test: a pair is rejected when the
-      * Levenshtein percent of the two normalized texts — lev over the
-      * first 255 chars × 100 / length of the FIRST (canonical url order)
-      * side, the reference's asymmetric denominator — is >= the bound.
-      * None = gate off (web-text default); the reference runs 10. Needs a
-      * `text` column on the verify side relation (the lean pipeline always
-      * has one). */
+    /** Reference ordered-decision-list title gate
+      * (classes/RecordManager.php:1575-1590), applied INSIDE the verify
+      * stage after the set-similarity test, with the reference's BYTE
+      * semantics (PHP levenshtein/strlen): a pair is rejected when either
+      * normalized text is empty or when byte-lev over the first 255 bytes
+      * × 100 / byte-length of the FIRST (canonical url order) side is
+      * >= the bound. None = gate off (web-text default); the reference
+      * runs 10. Needs a `text` column on the verify side relation (the
+      * lean pipeline always has one). */
     titleLevMax: Option[Double] = None,
-    /** Same gate over an `author` column when the side relation carries
-      * one (reference author lev threshold, classes/RecordManager.php:
-      * 1560-1582); silently inactive when the column is absent — the
-      * web-text pages schema has no author field. */
+    /** Reference author gate (classes/RecordManager.php:1592-1611) over
+      * an `author` column when the side relation carries one; silently
+      * inactive when the column is absent — the web-text pages schema has
+      * no author field. Semantics: skipped when both normalized authors
+      * are empty, reject when exactly one is empty, accepted outright on
+      * authorMatch, else reject when byte-lev(255) × 100 / codepoint
+      * length of the first side is STRICTLY > the bound (the reference
+      * accepts ==bound; it runs 20). */
     authorLevMax: Option[Double] = None,
     seed: Long = 42L) {
 
@@ -128,10 +132,14 @@ object DedupStages {
     * combinations), re-checks exact Jaccard per URL pair, and drops the
     * identity rows (url_a = url_b guard) — a collision costs a few extra
     * verify rows, never a wrong cluster. */
-  def withIds(pages: DataFrame): DataFrame =
+  def withIds(pages: DataFrame): DataFrame = {
+    // `author` rides along when the input carries one (it feeds the
+    // authorLevMax verify gate); the web-text schema normally has none
+    val extra = if (pages.columns.contains("author")) Seq("author") else Nil
     withSource(pages)
       .withColumn("doc_id", xxhash64(col("url")))
-      .select("doc_id", "url", "source", "lang", "text")
+      .select(("doc_id" +: "url" +: "source" +: "lang" +: "text" +: extra).map(col): _*)
+  }
 
   // ----------------------------------------------------------- signatures
 
@@ -566,22 +574,45 @@ object DedupStages {
     val a = side.toDF(side.columns.map(_ + "_a"): _*)
     val b = side.toDF(side.columns.map(_ + "_b"): _*)
 
-    /** Reference lev percent (classes/RecordManager.php:1583-1590): lev
-      * over the first 255 units × 100 / length of the FIRST side in
-      * canonical (url asc) pair order — the reference's asymmetric
-      * denominator. Applied as a conjunction with the set-similarity
-      * test (the ordered decision list collapses to AND semantics for
-      * accept/reject gates). */
+    /** Reference decision-list gates (classes/RecordManager.php:
+      * 1575-1611) with the reference's BYTE semantics (PHP `levenshtein`
+      * and `strlen` are byte-level; Spark's builtins are codepoint-level
+      * and diverge on the ÄÅÖäåö the normalizer preserves — the metric
+      * runs through graft.functions.TitleLevPct/AuthorLevPct instead).
+      * "First" side = canonical (url asc) pair order, the reference's
+      * asymmetric orig/candidate denominator. Applied as a conjunction
+      * with the set-similarity test (the ordered decision list collapses
+      * to AND semantics for accept/reject gates).
+      *
+      *  - title: BOTH normalized titles must be non-empty ("No title
+      *    match without title", :1577-1581), reject when
+      *    byteLev(255) × 100 / byteLen(first) >= bound (:1583-1590)
+      *  - author: skipped when BOTH normalized authors are empty
+      *    (:1595), reject when exactly one is empty (:1596-1601),
+      *    accepted outright on authorMatch (:1602), else reject when
+      *    byteLev(255) × 100 / codepointLen(first) > bound — the
+      *    reference accepts ==bound (:1603-1608) */
     def levGates(df: DataFrame): DataFrame = {
-      def pct(na: Column, nb: Column): Column = {
-        val first = when(col("url_a") <= col("url_b"), na).otherwise(nb)
-        val second = when(col("url_a") <= col("url_b"), nb).otherwise(na)
-        levenshtein(substring(first, 1, 255), substring(second, 1, 255)) *
-          lit(100.0) / length(first)
-      }
+      import graft.functions.normalization.{authorLevPct, authorsMatch, titleLevPct}
+      def ordered(na: Column, nb: Column): (Column, Column) = (
+        when(col("url_a") <= col("url_b"), na).otherwise(nb),
+        when(col("url_a") <= col("url_b"), nb).otherwise(na))
       var j = df
-      if (titleGate) j = j.where(pct(col("nrm_a"), col("nrm_b")) < cfg.titleLevMax.get)
-      if (authorGate) j = j.where(pct(col("anrm_a"), col("anrm_b")) < cfg.authorLevMax.get)
+      if (titleGate) {
+        val (first, second) = ordered(col("nrm_a"), col("nrm_b"))
+        j = j.where(length(first) > 0 && length(second) > 0 &&
+          titleLevPct(first, second) < cfg.titleLevMax.get)
+      }
+      if (authorGate) {
+        val (f0, s0) = ordered(col("anrm_a"), col("anrm_b"))
+        val first = coalesce(f0, lit(""))
+        val second = coalesce(s0, lit(""))
+        val bothEmpty = length(first) === 0 && length(second) === 0
+        val bothPresent = length(first) > 0 && length(second) > 0
+        j = j.where(bothEmpty || (bothPresent &&
+          (authorsMatch(first, second) ||
+            authorLevPct(first, second) <= cfg.authorLevMax.get)))
+      }
       j
     }
 
@@ -639,14 +670,21 @@ object DedupStages {
     * table: a pair rediscovered by the delta pass (two unchanged docs in
     * a dirty bucket) appears in both inputs — union the channel
     * provenance, keep one stats row. Shared by the incremental and
-    * streaming passes (their equivalence specs assert the same contract). */
+    * streaming passes (their equivalence specs assert the same contract).
+    *
+    * Precondition: duplicate (url_a, url_b) rows carry IDENTICAL stats —
+    * guaranteed by current callers because a pair is only rediscovered
+    * when BOTH endpoints are unchanged (same texts ⇒ same shingle math).
+    * The merge still aggregates with `max` (not `first`) so a future
+    * caller violating the precondition gets deterministic output rather
+    * than a silently partition-order-dependent row. */
   def foldVerified(carried: DataFrame, delta: DataFrame): DataFrame =
     carried.unionByName(delta)
       .groupBy("url_a", "url_b")
       .agg(flatten(collect_set(col("channels"))).as("chs"),
-        F.first("n_inter").as("n_inter"), F.first("n_union").as("n_union"),
-        F.first("n_min").as("n_min"), F.first("jaccard").as("jaccard"),
-        F.first("containment").as("containment"))
+        F.max("n_inter").as("n_inter"), F.max("n_union").as("n_union"),
+        F.max("n_min").as("n_min"), F.max("jaccard").as("jaccard"),
+        F.max("containment").as("containment"))
       .withColumn("channels", array_distinct(sort_array(col("chs")))).drop("chs")
       .select("url_a", "url_b", "channels", "n_inter", "n_union", "n_min",
         "jaccard", "containment")
@@ -778,8 +816,10 @@ object DedupPipeline {
     // verify joins the pair participants back to text and recomputes
     // their shingle sets inline (content_hash rides along to enable the
     // exact-channel fast path)
+    val pwTextCols = Seq("doc_id", "text") ++
+      (if (pw.columns.contains("author")) Seq("author") else Nil)
     val verSide = sigs.select("doc_id", "url", "source", "lang", "content_hash")
-      .join(pw.select("doc_id", "text"), "doc_id")
+      .join(pw.select(pwTextCols.map(col): _*), "doc_id")
     val ver0 = timed("verified_pairs")(DedupStages.verified(candC, verSide, cfg))
     val ver = if (checkpointRoot.isEmpty) ver0.cache() else ver0
     val clu = timed("clusters")(DedupStages.clusters(ver))

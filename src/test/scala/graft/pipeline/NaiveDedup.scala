@@ -21,10 +21,16 @@ object NaiveDedup {
                           containment: Double = 0.9,
                           requireSameLang: Boolean = false,
                           crossSourceOnly: Boolean = false,
-                          titleLevMax: Option[Double] = None)
+                          titleLevMax: Option[Double] = None,
+                          authorLevMax: Option[Double] = None,
+                          /** author of a page (the web-text Page fixture
+                            * has no author field; tests derive one) */
+                          authorOf: Page => String = _ => "")
 
-  /** Plain DP Levenshtein — independent of Spark's builtin. */
-  private def lev(a: String, b: String): Int = {
+  /** Plain DP Levenshtein over BYTE arrays — independent of both Spark's
+    * builtin (codepoints) and Normalize.levenshteinBytes. PHP
+    * `levenshtein` is byte-level, so the reference gates are too. */
+  private def lev(a: Array[Byte], b: Array[Byte]): Int = {
     val prev = new Array[Int](b.length + 1)
     val cur = new Array[Int](b.length + 1)
     for (j <- 0 to b.length) prev(j) = j
@@ -38,19 +44,43 @@ object NaiveDedup {
     prev(b.length)
   }
 
-  /** Reference lev-percent gate over the NORMALIZED texts in canonical
-    * (url asc) order: lev over the first 255 units × 100 / length of the
-    * FIRST side's full normalized text, accepted when < max. An empty
-    * first side rejects (the Spark formulation's ÷0 → NaN/∞ comparison
-    * is false). */
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Reference title gate over the NORMALIZED texts in canonical (url
+    * asc) order (RecordManager.php:1575-1590): BOTH sides must normalize
+    * non-empty, then byte-lev over the first 255 BYTES × 100 / byte
+    * length of the FIRST side's full normalized text, accepted when
+    * < max. */
   private def levGateOk(aUrl: String, aText: String, bUrl: String,
                         bText: String, max: Double): Boolean = {
     val (ft, st) =
       if (aUrl <= bUrl) (aText, bText) else (bText, aText)
     val fn = graft.text.Normalize.normalize(ft)
     val sn = graft.text.Normalize.normalize(st)
-    fn.nonEmpty &&
-      lev(fn.take(255), sn.take(255)) * 100.0 / fn.length < max
+    val fb = utf8(fn)
+    fn.nonEmpty && sn.nonEmpty &&
+      lev(fb.take(255), utf8(sn).take(255)) * 100.0 / fb.length < max
+  }
+
+  /** Reference author gate (RecordManager.php:1592-1611): skipped when
+    * both normalized authors are empty; reject when exactly one is
+    * empty; authorMatch short-circuits to accept; else byte-lev(255) ×
+    * 100 / CODEPOINT length of the first side, accepted when <= max. */
+  private def authorGateOk(aUrl: String, aAuthor: String, bUrl: String,
+                           bAuthor: String, max: Double): Boolean = {
+    val (fa, sa) =
+      if (aUrl <= bUrl) (aAuthor, bAuthor) else (bAuthor, aAuthor)
+    val fn = graft.text.Normalize.normalize(fa)
+    val sn = graft.text.Normalize.normalize(sa)
+    if (fn.isEmpty && sn.isEmpty) true
+    else if (fn.isEmpty || sn.isEmpty) false
+    else if (graft.text.Normalize.authorMatch(fn, sn)) true
+    else {
+      val fb = utf8(fn)
+      lev(fb.take(255), utf8(sn).take(255)) * 100.0 /
+        fn.codePointCount(0, fn.length) <= max
+    }
   }
 
   /** All verified duplicate pairs (url_a < url_b). */
@@ -66,7 +96,9 @@ object NaiveDedup {
         val jac = inter.toDouble / (sa.size + sb.size - inter)
         val cont = inter.toDouble / math.min(sa.size, sb.size)
         if ((jac >= p.threshold || cont >= p.containment) &&
-            p.titleLevMax.forall(m => levGateOk(a.url, a.text, b.url, b.text, m))) {
+            p.titleLevMax.forall(m => levGateOk(a.url, a.text, b.url, b.text, m)) &&
+            p.authorLevMax.forall(m =>
+              authorGateOk(a.url, p.authorOf(a), b.url, p.authorOf(b), m))) {
           val (u, v) = if (a.url < b.url) (a.url, b.url) else (b.url, a.url)
           out += ((u, v))
         }

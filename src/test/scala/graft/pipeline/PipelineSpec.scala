@@ -84,6 +84,94 @@ class PipelineSpec extends AnyFunSuite {
       s"lev gate at $max rejected nothing (${ungated.size} pairs) — tighten the test threshold")
   }
 
+  test("title lev gate is BYTE-semantic (PHP levenshtein/strlen) on an ÄÅÖ-bearing fixture, and empty-normalizing titles reject") {
+    import graft.fixtures.CorpusGen.Page
+    def pg(url: String, text: String) =
+      Page(url, 1700000000L, Array.emptyByteArray, text, "sv", "x.test")
+    // 24 distinct words of one 2-byte å/ä/ö prefix + an ascii letter;
+    // page b edits ONE byte of the last word (å→ä differ in the second
+    // UTF-8 byte). Normalized: 119 codepoints / 191 bytes, lev = 1 →
+    // byte pct = 100/191 ≈ 0.524, codepoint pct = 100/119 ≈ 0.840.
+    // At bound 0.7 the byte semantics ACCEPT what codepoint semantics
+    // would reject — the pair separates the two formulas.
+    val words = (0 until 24).map(i => "åäö" + ('a' + i).toChar)
+    val a = pg("http://x.test/a", words.mkString(" "))
+    val b = pg("http://x.test/b", (words.init :+ ("ääö" + ('a' + 23).toChar)).mkString(" "))
+    // byte-identical punctuation-only pair: similarity 1.0 but both
+    // titles normalize EMPTY → the reference rejects ("no title match
+    // without title", RecordManager.php:1577-1581)
+    val p1 = pg("http://x.test/p1", "!!! ??? !!! ??? !!! ???")
+    val p2 = pg("http://x.test/p2", "!!! ??? !!! ??? !!! ???")
+    val fixture = Seq(a, b, p1, p2)
+    val df = fixture
+      .map(p => (p.url, new java.sql.Timestamp(p.warcTs * 1000L), p.html, p.text, p.lang, p.source))
+      .toDF("url", "warc_ts", "html", "text", "lang", "source")
+    val bound = 0.7
+    val got = DedupPipeline.run(spark, df, DedupConfig(titleLevMax = Some(bound)))
+      .verifiedPairs.select("url_a", "url_b").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    val oracle = NaiveDedup.duplicatePairs(fixture,
+      NaiveDedup.Params(titleLevMax = Some(bound)))
+    assert(got == oracle, s"got=$got oracle=$oracle")
+    assert(got == Set(("http://x.test/a", "http://x.test/b")),
+      s"byte semantics must accept the åäö pair and reject the empty-title pair, got $got")
+    // non-vacuity: the codepoint formula lands on the other side of the bound
+    val fn = graft.text.Normalize.normalize(a.text)
+    val bn = graft.text.Normalize.normalize(b.text)
+    assert(graft.text.Normalize.titleLevPct(fn, bn) < bound)
+    assert(1 * 100.0 / fn.length >= bound, "codepoint pct must sit above the bound")
+  }
+
+  test("author gate: pipeline == naive oracle (skip both-empty, reject one-empty, authorMatch short-circuit, <=20 accept)") {
+    // deterministic author assignment over the planted corpus: a pool
+    // mixing empties, authorMatch-equal variants, and far-apart names
+    val pool = Vector("", "john smith", "john smyth", "jane q doe",
+      "completely different person entirely")
+    val authorOf = (p: graft.fixtures.CorpusGen.Page) =>
+      pool(math.abs(p.url.hashCode) % pool.size)
+    val df = corpus.pages
+      .map(p => (p.url, new java.sql.Timestamp(p.warcTs * 1000L), p.html,
+        p.text, p.lang, p.source, authorOf(p)))
+      .toDF("url", "warc_ts", "html", "text", "lang", "source", "author")
+    val got = DedupPipeline.run(spark, df, DedupConfig(authorLevMax = Some(20.0)))
+      .verifiedPairs.select("url_a", "url_b").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    val oracle = NaiveDedup.duplicatePairs(corpus.pages,
+      NaiveDedup.Params(authorLevMax = Some(20.0), authorOf = authorOf))
+    assert(got == oracle,
+      s"extra=${(got -- oracle).take(3)} missing=${(oracle -- got).take(3)}")
+    // non-vacuity: the gate must both reject and pass something
+    val ungated = NaiveDedup.duplicatePairs(corpus.pages, NaiveDedup.Params())
+    assert(oracle.nonEmpty && oracle != ungated,
+      s"author gate rejected nothing (${ungated.size} pairs)")
+  }
+
+  test("author gate boundary: ==bound accepts (reference rejects only > 20), lev 3/10 rejects") {
+    import graft.fixtures.CorpusGen.Page
+    val text = (0 until 24).map(i => "word" + ('a' + i).toChar).mkString(" ")
+    def pg(url: String, author: String): (Page, String) =
+      (Page(url, 1700000000L, Array.emptyByteArray, text, "en", "x.test"), author)
+    // identical texts → similarity 1.0; the author gate decides.
+    // abcdefghij vs abcdefghxy: authorMatch false (single-word authors,
+    // word 0 differs → reject path k==0), byte lev 2, 10 codepoints →
+    // pct exactly 20.0 → ACCEPT (the reference rejects only > 20)
+    val fixtures = Seq(
+      pg("http://x.test/b1", "abcdefghij"), pg("http://x.test/b2", "abcdefghxy"),
+      // byte lev 3 → pct 30 → reject
+      pg("http://x.test/c1", "abcdefghij"), pg("http://x.test/c2", "abcdefgxyz"))
+    val df = fixtures
+      .map { case (p, au) =>
+        (p.url, new java.sql.Timestamp(p.warcTs * 1000L), p.html, p.text, p.lang, p.source, au) }
+      .toDF("url", "warc_ts", "html", "text", "lang", "source", "author")
+    val got = DedupPipeline.run(spark, df, DedupConfig(authorLevMax = Some(20.0)))
+      .verifiedPairs.select("url_a", "url_b").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got.contains(("http://x.test/b1", "http://x.test/b2")),
+      s"pct == 20.0 must accept (reference rejects only > 20): $got")
+    assert(!got.exists { case (u, v) => u.contains("/c") && v.contains("/c") },
+      s"pct 30 must reject: $got")
+  }
+
   test("planted classes: exact+near+chain+substr all clustered; negatives not; hot-band one cluster") {
     val r = DedupPipeline.run(spark, pagesDf, DedupConfig())
     val clusters = r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap
