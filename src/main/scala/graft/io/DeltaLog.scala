@@ -90,32 +90,63 @@ object DeltaLog {
     val tableDir = Paths.get(root, table)
     Files.createDirectories(tableDir)
     val tmp = Paths.get(root, table, s".tmp-${java.util.UUID.randomUUID}")
-    // empty-delta guard: a PARTITIONED write of an empty frame produces
-    // no part files at all, and the read-back below then throws
-    // UNABLE_TO_INFER_SCHEMA (verified on Spark 4.1.2). A FLAT empty
-    // write keeps a schema-bearing part file — the partition columns
-    // simply stay data columns of the empty file, which unions cleanly
-    // with partitioned sibling deltas (same names/types). Zero-dirty
-    // micro-batches (pure redeliveries, unchanged re-crawls) hit this.
-    val parts = if (partitionCols.nonEmpty && df.isEmpty) Nil else partitionCols
-    StorageFormat.write(df, tmp.toString, parts)
+    val rows =
+      if (partitionCols.isEmpty) {
+        StorageFormat.write(df, tmp.toString, Nil)
+        StorageFormat.read(df.sparkSession, tmp.toString).count()
+      } else {
+        // Partitioned appends stage FLAT first, so the (possibly
+        // expensive, often uncached) delta plan is evaluated exactly ONCE
+        // — the previous empty-delta guard ran `df.isEmpty` as a second
+        // full plan execution on every partitioned append. The staged
+        // files also solve the empty case: a PARTITIONED write of an
+        // empty frame produces no part files at all and the read-back
+        // throws UNABLE_TO_INFER_SCHEMA (verified on Spark 4.1.2), while
+        // the FLAT empty stage keeps a schema-bearing part file whose
+        // partition columns stay data columns — unioning cleanly with
+        // partitioned sibling deltas. Zero-dirty micro-batches (pure
+        // redeliveries, unchanged re-crawls) hit that path. Non-empty
+        // stages are re-laid-out partitioned from the staged FILES (a
+        // column-pruned local read), never from the plan.
+        val stage = Paths.get(root, table, s".stage-${java.util.UUID.randomUUID}")
+        StorageFormat.write(df, stage.toString, Nil)
+        val staged = StorageFormat.read(df.sparkSession, stage.toString)
+        val n = staged.count()
+        if (n == 0L) Files.move(stage, tmp, StandardCopyOption.ATOMIC_MOVE)
+        else {
+          StorageFormat.write(staged, tmp.toString, partitionCols)
+          deleteRecursive(stage)
+        }
+        n
+      }
     val dst = tableDir.resolve(dirName)
     deleteRecursive(dst)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    val rows = StorageFormat.read(df.sparkSession, dst.toString).count()
     writeManifest(root, table, replace :+ Entry(dirName, rows, batchId))
     rows
   }
 
   /** Union of all committed deltas (None on an empty log). Every row
     * carries its `_batch` stamp. */
-  def read(spark: SparkSession, root: String, table: String): Option[DataFrame] = {
-    val entries = list(root, table)
+  def read(spark: SparkSession, root: String, table: String): Option[DataFrame] =
+    readWhere(spark, root, table, _ => true)
+
+  /** Union of the committed deltas whose manifest entry passes `keep`
+    * (None if none match) — readers that resolve the compacted baseline
+    * (`c…` dir) and the post-compaction appends (`d…` dirs) differently
+    * select each side without scanning the other. */
+  def readWhere(spark: SparkSession, root: String, table: String,
+                keep: Entry => Boolean): Option[DataFrame] = {
+    val entries = list(root, table).filter(keep)
     if (entries.isEmpty) None
     else Some(entries
       .map(e => StorageFormat.read(spark, Paths.get(root, table, e.dir).toString))
       .reduce(_ unionByName _))
   }
+
+  /** Manifest entries of the single compacted baseline dir (empty before
+    * the first compaction). */
+  def isCompacted(e: Entry): Boolean = e.dir.startsWith("c")
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {

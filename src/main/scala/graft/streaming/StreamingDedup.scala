@@ -34,16 +34,24 @@ import graft.pipeline.{DedupConfig, DedupPipeline, DedupStages, IncrementalDedup
  *
  * READS are bucket-pruned (the round-3 O(corpus)-per-batch read fixed):
  * pages and signatures deltas are directory-partitioned by
- * `_ub = pmod(xxhash64(url), stateBuckets)` and probes by
- * `_ub = pmod(xxhash64(channel, bucket_key), stateBuckets)`, so each
- * batch resolves latest-per-url only in the url buckets it TOUCHES,
- * reads stored probes only in the LSH-bucket partitions its dirty docs
- * probe, and reads page text only in the url buckets of verify
- * participants and cluster members. What still scans the full log per
- * batch is narrow and column-pruned: the (doc_id|url, _batch) sig-batch
- * view behind probe/pair liveness and the content-hash column behind the
- * exact channel — fixed-width columns of the lean signature log, never
- * text. verified_pairs is read whole (O(pair population) ≪ corpus).
+ * `_ub = pmod(xxhash64(url), stateBuckets)`, probes by
+ * `_ub = pmod(xxhash64(channel, bucket_key), stateBuckets)`, and
+ * verified_pairs by the MIN-endpoint url bucket
+ * `_ub = pmod(xxhash64(url_a), stateBuckets)` (url_a is the canonical min
+ * — stable across re-emissions), so each batch resolves latest-per-url
+ * only in the url buckets it TOUCHES, reads stored probes only in the
+ * LSH-bucket partitions its dirty docs probe, reads page text only in
+ * the url buckets of verify participants and cluster members, and
+ * bucket-scoped pair consumers prune to their partitions. The per-batch
+ * carried-pair view does need the FULL live pair population (each batch
+ * commits full cluster output), but its resolution never shuffles the
+ * compacted pair baseline: liveness splits at the compaction watermark
+ * (see resolvedVerified) into broadcast anti-joins for the baseline and
+ * a full join+window only over the (small) post-compaction pair deltas.
+ * What still scans the full log per batch is narrow and column-pruned:
+ * the (url, _batch) since-watermark re-sign scan and the content-hash
+ * column behind the exact channel — fixed-width columns of the lean
+ * signature log, never text.
  *
  * Every `compactEvery` batches the resolved views are rewritten as a
  * single delta (original `_batch` stamps AND bucket layout preserved —
@@ -84,6 +92,13 @@ object StreamingDedup {
     * partitions are exactly what the candidate join needs to read. */
   private def probeBucket(nB: Int): Column =
     pmod(xxhash64(col("channel"), col("bucket_key")), lit(nB.toLong)).cast("int")
+
+  /** verified-pair bucket: the MIN endpoint's url bucket — url_a is the
+    * canonical (lexicographic min) endpoint, stable across re-emissions
+    * of a pair, so every emission lands in the same partition and
+    * bucket-scoped readers prune soundly. */
+  private def pairBucket(nB: Int): Column =
+    pmod(xxhash64(col("url_a")), lit(nB.toLong)).cast("int")
 
   /** Latest-batch-wins resolution per url. */
   private def latestPerUrl(df: DataFrame): DataFrame =
@@ -134,13 +149,6 @@ object StreamingDedup {
       .map(_.select("doc_id", "_batch").groupBy("doc_id")
         .agg(max("_batch").as("_sig_batch")))
 
-  /** Same clock keyed by url (pair liveness joins on endpoints' urls). */
-  private def sigBatchByUrl(spark: SparkSession, stateDir: String,
-                            before: Option[Long]): Option[DataFrame] =
-    rawRead(spark, stateDir, "signatures", before)
-      .map(_.select("url", "_batch").groupBy("url")
-        .agg(max("_batch").as("_sb")))
-
   /** Live probes: `_batch` must match the doc's latest signature batch. */
   def resolvedProbes(spark: SparkSession, stateDir: String,
                      before: Option[Long] = None,
@@ -153,22 +161,74 @@ object StreamingDedup {
       .select("channel", "bucket_key", "doc_id", "tag")
 
   /** Live verified pairs: neither endpoint re-signed after the emission;
-    * duplicate emissions of a pair keep the latest. */
+    * duplicate emissions of a pair keep the latest.
+    *
+    * Resolution is SPLIT at the compaction watermark `vc` (the pair log's
+    * `c…` dir batch id) so the O(pair-population) compacted baseline is
+    * never shuffled per batch:
+    *
+    *  - a compacted row was liveness-resolved and deduped against the
+    *    whole log as of `vc`, so it is live NOW iff neither endpoint
+    *    re-signed after `vc` and no later emission of the same pair
+    *    exists — two broadcast anti-joins against the (small)
+    *    since-watermark re-sign set and the (small) post-compaction pair
+    *    keys: ONE scan of the baseline, zero shuffles of it
+    *  - post-compaction (`d…`) rows — O(pairs touched since compaction) —
+    *    pay the full liveness join + latest-per-pair window, but only
+    *    against the since-watermark sig events
+    *
+    * The since-watermark re-sign set itself is a column-pruned
+    * (url, _batch) scan of the signature log with the selective
+    * `_batch > vc` predicate — no corpus-wide groupBy/window. A dead
+    * later emission implies a since-watermark re-sign of an endpoint, so
+    * anti-joining the baseline on ALL post-compaction pair keys (not just
+    * live ones) cannot resurrect or lose a pair.
+    *
+    * `buckets` prunes both sides to the given min-endpoint url-hash `_ub`
+    * partitions — sound for bucket-scoped consumers because every
+    * emission of a pair carries the same `_ub` (url_a is the canonical
+    * min endpoint, stable across re-emissions). */
   def resolvedVerified(spark: SparkSession, stateDir: String,
-                       before: Option[Long] = None): Option[DataFrame] =
-    for {
-      ver <- rawRead(spark, stateDir, "verified_pairs", before)
-      sb <- sigBatchByUrl(spark, stateDir, before)
-    } yield {
-      val live = ver
-        .join(sb.select(col("url").as("url_a"), col("_sb").as("_sba")), Seq("url_a"))
-        .join(sb.select(col("url").as("url_b"), col("_sb").as("_sbb")), Seq("url_b"))
-        .where(col("_batch") >= col("_sba") && col("_batch") >= col("_sbb"))
+                       before: Option[Long] = None,
+                       buckets: Option[Seq[Int]] = None): Option[DataFrame] = {
+    def flt(df: DataFrame): DataFrame = {
+      val b = before.fold(df)(x => df.where(col("_batch") < x))
+      buckets.fold(b)(bs => b.where(col("_ub").isin(bs: _*)))
+    }
+    val comp = DeltaLog.readWhere(spark, stateDir, "verified_pairs",
+      DeltaLog.isCompacted).map(flt)
+    val delt = DeltaLog.readWhere(spark, stateDir, "verified_pairs",
+      e => !DeltaLog.isCompacted(e)).map(flt)
+    if (comp.isEmpty && delt.isEmpty) return None
+    val vc = DeltaLog.list(stateDir, "verified_pairs")
+      .filter(DeltaLog.isCompacted).map(_.batchId).maxOption.getOrElse(-1L)
+    val resigned = rawRead(spark, stateDir, "signatures", before)
+      .map(_.where(col("_batch") > vc).select("url", "_batch"))
+    val resignedUrls = resigned.map(_.select("url").distinct())
+    val deltKeys = delt.map(_.select("url_a", "url_b").distinct())
+    val compLive = comp.map { c0 =>
+      val c1 = resignedUrls.fold(c0)(r => c0
+        .join(r.select(col("url").as("url_a")), Seq("url_a"), "left_anti")
+        .join(r.select(col("url").as("url_b")), Seq("url_b"), "left_anti"))
+      deltKeys.fold(c1)(k => c1.join(k, Seq("url_a", "url_b"), "left_anti"))
+    }
+    val deltLive = delt.map { d0 =>
+      val sbPost = resigned.map(_.groupBy("url").agg(max("_batch").as("_sb")))
+      val live = sbPost.fold(d0)(sb => d0
+        .join(sb.select(col("url").as("url_a"), col("_sb").as("_sba")),
+          Seq("url_a"), "left")
+        .join(sb.select(col("url").as("url_b"), col("_sb").as("_sbb")),
+          Seq("url_b"), "left")
+        .where(col("_batch") >= coalesce(col("_sba"), lit(Long.MinValue)) &&
+          col("_batch") >= coalesce(col("_sbb"), lit(Long.MinValue)))
+        .drop("_sba", "_sbb"))
       live.withColumn("_rnk", row_number().over(
           Window.partitionBy("url_a", "url_b").orderBy(col("_batch").desc)))
-        .where(col("_rnk") === 1)
-        .drop("_rnk", "_batch", "_sba", "_sbb")
+        .where(col("_rnk") === 1).drop("_rnk")
     }
+    Some((compLive.toSeq ++ deltLive.toSeq)
+      .reduce(_ unionByName _).drop("_batch", "_ub"))
+  }
 
   /** Distinct bucket values of a (small) frame — the driver-side key to
     * partition pruning. The collect is ≤ stateBuckets ints. */
@@ -204,7 +264,10 @@ object StreamingDedup {
       }
 
     val deltaPw = DedupStages.withIds(dirtyPages)
-    val deltaSigs = DedupStages.leanSignatures(deltaPw, cfg)
+    // O(dirty) rows behind the whole dirty-detection + signature plan,
+    // consumed by dirtyHashes, sigsForExact, sigsAll AND the delta-log
+    // append: pin (released with the per-batch pins below)
+    val deltaSigs = DedupStages.leanSignatures(deltaPw, cfg).cache()
     // O(dirty) rows, consumed four times (bucket collect, dirtyBuckets,
     // probeSub, delta append): pin
     val deltaProbes = IncrementalDedup.freshProbes(deltaPw, cfg).cache()
@@ -228,7 +291,12 @@ object StreamingDedup {
     // dirty hash), then latest-per-url resolves only those urls' rows —
     // the window shuffle is O(matching urls), the scan is column-pruned.
     val dirtyHashes = deltaSigs.select("content_hash").distinct()
-    val rawSigs = rawRead(spark, stateDir, "signatures", before).get.drop("_ub")
+    // empty fallback (not .get): a crash between the pages and signatures
+    // appends of a prior batch leaves a pages log without a signatures
+    // log — treat prev sigs as empty like prevSigsT/livePrevProbes do
+    val rawSigs = rawRead(spark, stateDir, "signatures", before)
+      .getOrElse(deltaSigs.limit(0).withColumn("_batch", lit(0L)))
+      .drop("_ub")
     val hashUrls = rawSigs.join(dirtyHashes, Seq("content_hash"), "left_semi")
       .select("url").distinct()
     val prevSigsForExact = dropMeta(latestPerUrl(
@@ -299,7 +367,7 @@ object StreamingDedup {
       // per-batch cache pins, released by processBatch after the output
       // commits — without this a long-running stream accumulates cached
       // plans/blocks in the CacheManager without bound
-      Seq(deltaProbes, deltaPairs, verifiedAll, clusters))
+      Seq(deltaSigs, deltaProbes, deltaPairs, verifiedAll, clusters))
   }
 
   /** Fold one upsert batch into the persisted state; returns the new
@@ -337,7 +405,8 @@ object StreamingDedup {
           stateDir, "signatures", bid, partitionCols = Seq("_ub"))
         DeltaLog.append(r.probes.withColumn("_ub", probeBucket(nB)),
           stateDir, "probes", bid, partitionCols = Seq("_ub"))
-        DeltaLog.append(r.verifiedPairs, stateDir, "verified_pairs", bid)
+        DeltaLog.append(r.verifiedPairs.withColumn("_ub", pairBucket(nB)),
+          stateDir, "verified_pairs", bid, partitionCols = Seq("_ub"))
         (r, Seq(r.signatures, r.verifiedPairs, r.candidatePairs))
       } else {
         val (d, p) = upsertDelta(spark, b, stateDir, cfg, bid, nB)
@@ -346,7 +415,8 @@ object StreamingDedup {
           stateDir, "signatures", bid, partitionCols = Seq("_ub"))
         DeltaLog.append(d.deltaProbes.withColumn("_ub", probeBucket(nB)),
           stateDir, "probes", bid, partitionCols = Seq("_ub"))
-        DeltaLog.append(d.deltaVerified, stateDir, "verified_pairs", bid)
+        DeltaLog.append(d.deltaVerified.withColumn("_ub", pairBucket(nB)),
+          stateDir, "verified_pairs", bid, partitionCols = Seq("_ub"))
         (d.full, p)
       }
 
@@ -381,7 +451,8 @@ object StreamingDedup {
         .withColumn("_rnk", row_number().over(
           Window.partitionBy("url_a", "url_b").orderBy(col("_batch").desc)))
         .where(col("_rnk") === 1).drop("_rnk", "_sba", "_sbb")
-      DeltaLog.compact(spark, stateDir, "verified_pairs", ver, bid)
+      DeltaLog.compact(spark, stateDir, "verified_pairs", ver, bid,
+        partitionCols = Seq("_ub"))
       sigsStamped.unpersist()
     }
 

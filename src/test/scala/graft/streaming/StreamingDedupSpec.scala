@@ -180,4 +180,80 @@ class StreamingDedupSpec extends AnyFunSuite {
     val want = cold.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == want, s"got $got want $want")
   }
+
+  test("verified_pairs log: split liveness at the compaction watermark, bucket-scoped reads prune physically") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-stream-vp").toString
+    val cfg = DedupConfig()
+    def pair(i: Int, ts: Long): Seq[P] = {
+      val t = s"pair number $i shared body alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+      Seq(p(s"https://h$i.example.com/a$i", t, ts), p(s"https://h$i.example.com/b$i", t, ts))
+    }
+    def kill(i: Int, ts: Long): P =
+      p(s"https://h$i.example.com/a$i", s"rewritten solitary body $i with its very own words now omega$i psi$i chi$i phi$i", ts)
+    // batch 0: 40 planted pairs; batch 1: pair 40; batch 2: pair 41 +
+    // re-sign kills pair 0 → triggers compaction (3 dirs > compactEvery=2);
+    // batch 3 (post-compaction): pair 42 + re-sign kills COMPACTED pair 1
+    // — exercises the baseline's broadcast anti-join liveness, the d-dir
+    // full resolution, and their union
+    val batches = Seq(
+      (0 until 40).flatMap(pair(_, 0L)),
+      pair(40, 1L),
+      pair(41, 2L) :+ kill(0, 2L),
+      pair(42, 3L) :+ kill(1, 3L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingDedup.processBatch(spark, b.toDF(), stateDir, cfg,
+        batchId = i.toLong, compactEvery = 2)
+    }
+    import graft.io.DeltaLog
+    assert(DeltaLog.list(stateDir, "verified_pairs").exists(DeltaLog.isCompacted),
+      "fixture must actually compact the pair log")
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.select("url_a", "url_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val full = pairsOf(StreamingDedup.resolvedVerified(spark, stateDir).get)
+    val expected = ((2 until 43).map(i =>
+      (s"https://h$i.example.com/a$i", s"https://h$i.example.com/b$i"))).toSet
+    assert(full == expected,
+      s"missing=${(expected -- full).take(3)} extra=${(full -- expected).take(3)}")
+
+    // bucket-scoped read == full view filtered to that bucket (soundness)
+    def bucketOf(url: String): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(url)), lit(64L)).cast("int")).head().getInt(0)
+    val b2 = bucketOf("https://h2.example.com/a2")
+    val pruned = pairsOf(
+      StreamingDedup.resolvedVerified(spark, stateDir, buckets = Some(Seq(b2))).get)
+    assert(pruned == full.filter(x => bucketOf(x._1) == b2))
+    assert(pruned.contains(("https://h2.example.com/a2", "https://h2.example.com/b2")))
+
+    // physical pruning: materializing the one-bucket view reads fewer
+    // records off disk than the full view (same state, same session)
+    def recordsRead(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          acc.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        var last = -1L; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val now = acc.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get
+    }
+    val readsFull = recordsRead(
+      StreamingDedup.resolvedVerified(spark, stateDir).get.count(): Unit)
+    val readsPruned = recordsRead(StreamingDedup.resolvedVerified(
+      spark, stateDir, buckets = Some(Seq(b2))).get.count(): Unit)
+    assert(readsPruned < readsFull,
+      s"bucket-scoped pair read must prune: pruned=$readsPruned full=$readsFull")
+  }
 }
