@@ -6,32 +6,52 @@ import graft.pipeline.{DedupConfig, DedupPipeline, DedupStages}
 
 /**
  * Benchmark main (driver contract): headline queries on
- * `SPARK_GRAFT_SF_DIR`, ONE JSON result line on stdout.
+ * `SPARK_GRAFT_SF_DIR`, ONE JSON result line on stdout (later lines
+ * supersede earlier ones — the harness keeps the last).
  *
- * Headline robustness (round-4): `pipeline_full` is the MIN of two
- * measured runs after a warm-up (one noisy multi-tenant window wrote a
- * 3.2×-inflated headline into the round-3 artifact), and the JSON carries
- * a per-stage `stages` object so any future outlier is attributable to a
- * stage from the artifact alone.
+ * Evidence-banking discipline (round-5, after BENCH_r04.json banked
+ * NOTHING — rc 124 with the first emission still pending ~19 min in on a
+ * starved host):
  *
- * Also produces the BASELINE.md scaling-efficiency evidence (the sandbox
- * substitute for the north rule's N-vs-4N-executor criterion): the full
- * dedup pipeline runs on the same staged input at N and 4N cores — each
- * level in a child JVM hard-pinned with `taskset -c` so "N cores" binds
- * the WHOLE process (GC, codecs, shuffle I/O), not just Spark task slots —
- * and the JSON carries docs/sec at both plus
- * efficiency = (docs_s_4n / docs_s_n) / 4, under TWO protocols:
+ *  - a bootstrap JSON line lands within seconds of JVM start, and the
+ *    record is RE-EMITTED after the warmup, after EVERY measured headline
+ *    rep, after the aux queries, and after every completed scaling rep —
+ *    a kill at any point banks everything completed so far
+ *  - a heartbeat line (phase, elapsed, 1-min loadavg) prints to stderr at
+ *    every phase boundary, so a starved window is diagnosable from the
+ *    captured tail alone
+ *  - `host_load` samples (/proc/loadavg) ride IN the JSON, so contention
+ *    is attributable from the artifact without host access
+ *  - the whole run fits a wall budget (`SPARK_GRAFT_BENCH_BUDGET_S`,
+ *    default 1000 s ≈ a 15–20-min harness window with margin): the
+ *    scaling phase runs the spillfree protocol first (min-of-2), then
+ *    further reps / the tuned protocol ONLY while the projected cost of
+ *    the next step fits the remaining budget.
  *
- *  - `spillfree`  — 1.4M docs, shuffle partitions = cores: both levels in
- *    the spill-free regime; the cleanest single-box estimate of the job's
- *    own scaling (round-3 reading: 0.789).
- *  - `tuned`      — 1.8M docs, shuffle partitions = cores (per-cluster-
- *    size tuning, the protocol production jobs use): at this corpus the
- *    2-core level's 4×-per-partition aggregation state spills, which
- *    INFLATES the ratio past 1.0 (an N-executor cluster genuinely has ¼
- *    the aggregate memory of 4N and hits working-set spills first, but
- *    the spill asymmetry is a confound of the shared-heap sandbox — see
- *    `confound` in the emitted JSON and BENCH.md's sensitivity table).
+ * Headline robustness: `pipeline_full` is the MIN of two measured runs
+ * after a warm-up (one noisy multi-tenant window wrote a 3.2×-inflated
+ * headline into the round-3 artifact), and the JSON carries a per-stage
+ * `stages` object so any future outlier is attributable to a stage from
+ * the artifact alone.
+ *
+ * Scaling evidence (the sandbox substitute for the north rule's
+ * N-vs-4N-executor criterion): the full dedup pipeline runs on the same
+ * staged input at N and 4N cores — each level in a child JVM hard-pinned
+ * with `taskset -c` so "N cores" binds the WHOLE process (GC, codecs,
+ * shuffle I/O), not just Spark task slots — and the JSON carries docs/sec
+ * at both plus efficiency = (docs_s_4n / docs_s_n) / 4, under TWO
+ * protocols:
+ *
+ *  - `spillfree`  — shuffle partitions = cores, corpus sized so both
+ *    levels stay in the spill-free regime; the cleanest single-box
+ *    estimate of the job's own scaling.
+ *  - `tuned`      — 1.8M docs (per-cluster-size tuning, the protocol
+ *    production jobs use): at this corpus the 2-core level's
+ *    4×-per-partition aggregation state spills, which INFLATES the ratio
+ *    past 1.0 (an N-executor cluster genuinely has ¼ the aggregate
+ *    memory of 4N and hits working-set spills first, but the spill
+ *    asymmetry is a confound of the shared-heap sandbox — see `confound`
+ *    in the emitted JSON and BENCH.md's sensitivity table).
  *
  * Emitting BOTH keys means the ≥0.8 claim never hinges on the
  * spill-inflated reading alone.
@@ -77,20 +97,24 @@ object Bench {
     * result, per-stage action walls). Stage walls are cumulative-exclusive:
     * `candidates` covers the scan→probe→candidate plan (first action),
     * later stages run on the pinned upstream. Caller must unpersist when
-    * `keep`. */
+    * `keep`. `stageLaps = false` skips the four per-stage count actions —
+    * the scaling children use it so the measured wall carries no
+    * fixed-cost actions beyond the pipeline itself. */
   private def runPipeline(s: SparkSession, pages: => org.apache.spark.sql.DataFrame,
-                          keep: Boolean = false)
+                          keep: Boolean = false, stageLaps: Boolean = true)
       : (Double, DedupPipeline.Result, Seq[(String, Double)]) = {
     val t0 = System.nanoTime()
     val r = DedupPipeline.run(s, pages, DedupConfig())
     def lap(f: => Long): Double = {
       val a = System.nanoTime(); f; (System.nanoTime() - a) / 1e9
     }
-    val stages = Seq(
-      "candidates" -> lap(r.candidatePairs.count()),
-      "verify" -> lap(r.verifiedPairs.count()),
-      "clusters" -> lap(r.clusters.count()),
-      "merged" -> lap(r.merged.count()))
+    val stages =
+      if (stageLaps) Seq(
+        "candidates" -> lap(r.candidatePairs.count()),
+        "verify" -> lap(r.verifiedPairs.count()),
+        "clusters" -> lap(r.clusters.count()),
+        "merged" -> lap(r.merged.count()))
+      else Seq("merged" -> lap(r.merged.count()))
     val secs = (System.nanoTime() - t0) / 1e9
     if (!keep) {
       r.signatures.unpersist(); r.verifiedPairs.unpersist()
@@ -140,9 +164,9 @@ object Bench {
   private def runScaleChild(corpusDir: String, cpus: Int, warmN: Long): Unit = {
     val s = session(cpus)
     val (_, _, _) = runPipeline(s, DedupStages.withSource(
-      SyntheticPages.generate(s, warmN))) // JIT/codegen warm-up, discarded
+      SyntheticPages.generate(s, warmN)), stageLaps = false) // JIT warm-up, discarded
     val pages = s.read.parquet(corpusDir)
-    val (secs, r, _) = runPipeline(s, pages, keep = true)
+    val (secs, r, _) = runPipeline(s, pages, keep = true, stageLaps = false)
     val recall = plantedRecall(pages, r.verifiedPairs)
     println(f"GRAFT_SCALE_WALL=$secs%.3f")
     println(f"GRAFT_SCALE_RECALL=$recall%.4f")
@@ -195,99 +219,149 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM_N", "60000").toLong)
       return
     }
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1000").toDouble
+    def remaining: Double = budget - elapsed
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
 
+    // -------- host-load telemetry + heartbeat: every phase boundary
+    // samples /proc/loadavg into the JSON and prints a stderr line, so a
+    // starved window (r3's 26 s outlier, r4's rc-124 timeout) is
+    // attributable from the artifact / captured tail alone
+    val loadSamples = scala.collection.mutable.ListBuffer.empty[String]
+    def heartbeat(phase: String): Unit = {
+      val la = scala.util.Try(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).trim.split("\\s+"))
+        .getOrElse(Array("-1", "-1", "-1", "0/0"))
+      val load1 = la(0)
+      val running = la.lift(3).map(_.split("/")(0)).getOrElse("0")
+      loadSamples +=
+        s"""{"phase":"$phase","t_s":${f"$elapsed%.1f"},"load1":$load1,"running":$running}"""
+      System.err.println(
+        f"GRAFT_BENCH_HEARTBEAT phase=$phase elapsed_s=$elapsed%.1f budget_s=$budget%.0f load1=$load1 running=$running")
+    }
+    def loadsJson: String = loadSamples.mkString("[", ",", "]")
+
+    // -------- incremental emission state: every emit() writes the FULL
+    // record as known so far (stdout line + atomic file), so the last
+    // line the harness captured is always the most complete evidence
+    val queries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var stagesJson = "{}"
+    val pipelineRuns = scala.collection.mutable.ListBuffer.empty[Double]
+    var nDocs = 0L
+    var recallField = ""   // ',"dup_pair_recall":…' once known
+    var ivfField = ""      // ',"ivf_recall_permille":…' once known
+    var scalingJson = "\"pending (budget-gated; see BENCH.md)\""
+    def emit(): Unit = {
+      val qJson = queries
+        .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+      val runsJson = pipelineRuns.map(r => f"$r%.3f").mkString("[", ",", "]")
+      val total = queries.values.sum
+      val dps = queries.get("pipeline_full")
+        .map(t => f"${nDocs / t}%.1f").getOrElse("0")
+      val line =
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"stages":$stagesJson,"pipeline_runs":$runsJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":$dps$recallField$ivfField,"host_load":$loadsJson,"budget_s":${f"$budget%.0f"},"scaling":$scalingJson}"""
+      println(line)
+      writeJsonAtomic(benchOut, line)
+    }
+
+    heartbeat("bootstrap")
+    emit() // bank a parseable record within seconds of JVM start
+
     // ---- headline queries at the requested parallelism: warm-up run
-    // (JIT/codegen), then MIN-OF-2 measured runs — a single measurement in
-    // a contended multi-tenant window wrote a 3.2×-inflated headline into
-    // the round-3 artifact; min-of-2 plus the per-stage breakdown makes
-    // one noisy window both survivable and attributable.
+    // (JIT/codegen), then MIN-OF-2 measured runs, RE-EMITTED after every
+    // completed measurement
     var s = session(cpus)
-    val nDocs = s.read.parquet(s"$sfDir/documents.parquet").count()
+    nDocs = s.read.parquet(s"$sfDir/documents.parquet").count()
+    heartbeat("session-up")
+    emit()
     val (warmup, _, _) = runPipeline(s, sfPages(s, sfDir))
-    val headlineRuns = (1 to 2).map(_ => runPipeline(s, sfPages(s, sfDir)))
-    val best = headlineRuns.minBy(_._1)
-    val tPipeline = best._1
-    val stageJson = best._3
-      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val runsJson = headlineRuns.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+    queries("pipeline_warmup") = warmup
+    heartbeat("warmup-done")
+    emit()
+    val headlineRuns = scala.collection.mutable.ListBuffer
+      .empty[(Double, DedupPipeline.Result, Seq[(String, Double)])]
+    for (rep <- 1 to 2) {
+      val run = runPipeline(s, sfPages(s, sfDir))
+      headlineRuns += run
+      pipelineRuns += run._1
+      val best = headlineRuns.minBy(_._1)
+      queries("pipeline_full") = best._1
+      stagesJson = best._3
+        .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+      heartbeat(s"headline-rep$rep")
+      emit()
+    }
     def docsDf: DataFrame = s.read.parquet(s"$sfDir/documents.parquet")
-    val tVocab = time(graft.ops.TextStats.vocabCounts(docsDf).count())
-    val tQuality = time(graft.ops.TextStats.qualityFeatures(docsDf).count())
-    val tKnn = time(graft.ops.Similarity.knnBrute(
-      s.read.parquet(s"$sfDir/embeddings.parquet")).count())
-    val tExact = time {
+    queries("vocab_counts") = time(graft.ops.TextStats.vocabCounts(docsDf).count())
+    queries("quality_features") = time(graft.ops.TextStats.qualityFeatures(docsDf).count())
+    val embDf = s.read.parquet(s"$sfDir/embeddings.parquet")
+    queries("knn_brute") = time(graft.ops.Similarity.knnBrute(embDf).count())
+    queries("exact_candidates") = time {
       val p = DedupStages.signatures(DedupStages.pagesFromDocuments(docsDf), DedupConfig())
       DedupStages.exactCandidates(p).count()
     }
-
-    val queriesHeadline = Seq(
-      "pipeline_full" -> tPipeline, "pipeline_warmup" -> warmup,
-      "vocab_counts" -> tVocab, "quality_features" -> tQuality,
-      "knn_brute" -> tKnn, "exact_candidates" -> tExact)
-    def qJsonOf(qs: Seq[(String, Double)]) =
-      qs.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val headlinePart =
-      s""""queries":${qJsonOf(queriesHeadline)},"stages":$stageJson,"pipeline_runs":$runsJson,"sf":"$sfDir","docs":$nDocs,"docs_per_sec":${f"${nDocs / tPipeline}%.1f"}"""
-
-    // ---- partial result hedge: if the harness kills the (long) scaling
-    // phase below, the LAST complete JSON line it captured still carries
-    // the headline metrics; later emissions supersede this one
-    val partial =
-      s"""{"metric":"total","value":${f"${queriesHeadline.map(_._2).sum}%.3f"},"unit":"sec",$headlinePart,"scaling":"in-progress (see BENCH.md)"}"""
-    println(partial)
-    writeJsonAtomic(benchOut, partial)
+    // IVF ANN recall vs exact top-5, UNclamped (the oracle row
+    // q_knn_ivf asserts only the >=500 floor; the artifact banks the
+    // real number per round so within-band regressions stay visible)
+    queries("knn_ivf") = time {
+      val exact = graft.ops.Similarity.knnBrute(embDf).select("query_id", "neighbor_id")
+      val ivf = graft.ops.Similarity.knnIvf(embDf).select("query_id", "neighbor_id")
+      val total = exact.count()
+      val hit = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      ivfField = s""","ivf_recall_permille":${if (total == 0) 1000L else hit * 1000L / total}"""
+      total
+    }
+    heartbeat("aux-done")
+    emit()
 
     // ---- scaling evidence: same job, pinned child JVMs at lo vs 4×lo
     // cores, on distributed deterministic corpora — the sandbox substitute
     // for N vs 4N executors (BASELINE.md). TWO protocols (class doc):
-    // `spillfree` (1.4M docs — clean regime, ~14 min, runs FIRST so a
-    // harness timeout still banks it) then `tuned` (1.8M docs — the
-    // per-cluster-size-tuning protocol; its 2-core leg spills, inflating
-    // the ratio past 1.0: disclosed in `confound`, never banked alone).
-    // 2→8 cores (not 4→16): per-core throughput on this box degrades
-    // smoothly past ~8 busy cores (measured relative per-core speed at
-    // 1.4M docs: 4c 1.00, 8c 0.82, 16c 0.59) because all local threads
-    // share ONE socket's DRAM bandwidth — a single-box artifact that a
-    // real N→4N executor scale-out does not have. Symmetric min-of-k,
-    // interleaved lo/hi reps (a foreign-load spike degrades one sample of
-    // EACH level, not both samples of one level), re-emitted after every
-    // completed rep so a kill still banks the completed evidence.
+    // `spillfree` runs FIRST (clean regime — min-of-2 is the banked ≥0.8
+    // evidence) then `tuned` (spill-asymmetric, disclosed in `confound`),
+    // each step gated on the remaining wall budget. 2→8 cores (not
+    // 4→16): per-core throughput on this box degrades smoothly past ~8
+    // busy cores (measured relative per-core speed at 1.4M docs: 4c 1.00,
+    // 8c 0.82, 16c 0.59) because all local threads share ONE socket's
+    // DRAM bandwidth — a single-box artifact a real N→4N executor
+    // scale-out does not have. Symmetric min-of-k, interleaved lo/hi reps
+    // (a foreign-load spike degrades one sample of EACH level, not both
+    // samples of one level), re-emitted after every completed rep so a
+    // kill still banks the completed evidence.
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
     val hi = lo * 4
     val protocols = Seq(
       new ProtoState("spillfree",
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_SPILLFREE_N", "1400000").toLong),
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_SPILLFREE_N", "1600000").toLong),
       new ProtoState("tuned",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1800000").toLong))
-    // min-of-2 for BOTH protocols: on 2026-08-17's contended host a
-    // single spillfree rep banked 0.728 (hi leg 290 s vs a clean-window
-    // 200 s) while the tuned protocol's second rep rescued its reading
-    // from 0.665 to 1.003 — one rep per level is not evidence on a
-    // multi-tenant box
+    // min-of-2 for BOTH protocols: on a contended host a single spillfree
+    // rep banked 0.728 (hi leg 290 s vs a clean-window 200 s) while the
+    // tuned protocol's second rep rescued its reading from 0.665 to
+    // 1.003 — one rep per level is not evidence on a multi-tenant box
     val reps = Map(
       "spillfree" -> sys.env.getOrElse("SPARK_GRAFT_SCALE_SPILLFREE_REPS", "2").toInt,
       "tuned" -> sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt)
 
-    def emitScaling(): Unit = {
+    def buildScalingJson(): Unit = {
       val done = protocols.filter(_.complete)
       if (done.isEmpty) return
       val tunedEff = done.find(_.label == "tuned").map(_.efficiency)
       val spillEff = done.find(_.label == "spillfree").map(_.efficiency)
-      // headline continuity key: the tuned protocol when available (the
-      // protocol banked since round 3), else the spill-free one
-      val headEff = tunedEff.orElse(spillEff).get
-      val recall = done.map(_.recall).max
-      val total = queriesHeadline.map(_._2).sum
+      // headline continuity key: spillfree is the CLEAN protocol — it is
+      // the primary number; tuned rides along with its disclosed confound
+      val headEff = spillEff.orElse(tunedEff).get
+      recallField = s""","dup_pair_recall":${f"${done.map(_.recall).max}%.4f"}"""
       val effKeys = (tunedEff.map(e => s""""efficiency_tuned":${f"$e%.3f"}""") ++
         spillEff.map(e => s""""efficiency_spillfree":${f"$e%.3f"}""")).mkString(",")
-      val json =
-        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$headlinePart,"dup_pair_recall":${f"$recall%.4f"},"scaling":{"cores_n":$lo,"cores_4n":$hi,$effKeys,"efficiency_n_to_4n":${f"$headEff%.3f"},"protocols":{${done.map(_.json).mkString(",")}},"confound":"tuned (partitions=cores, 1.8M docs) puts the 2-core leg in a spill regime the 8-core leg avoids, inflating its ratio; spillfree (1.4M docs) is the clean single-box estimate — see BENCH.md sensitivity table"}}"""
-      println(json)
-      writeJsonAtomic(benchOut, json)
+      scalingJson =
+        s"""{"cores_n":$lo,"cores_4n":$hi,$effKeys,"efficiency_n_to_4n":${f"$headEff%.3f"},"protocols":{${done.map(_.json).mkString(",")}},"confound":"tuned (partitions=cores, 1.8M docs) puts the 2-core leg in a spill regime the 8-core leg avoids, inflating its ratio; spillfree is the clean single-box estimate (BENCH.md sensitivity table)"}"""
     }
+    def emitScaling(): Unit = { buildScalingJson(); emit() }
 
     // free the headline session's task slots/cache before children run
     s.stop()
@@ -300,60 +374,98 @@ object Bench {
           .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
+    // budget model: a protocol's first rep is always attempted if staging
+    // + one projected rep fits; later reps and the tuned protocol run
+    // only while the projection (last measured rep × 1.1) fits. The
+    // spillfree protocol's first rep is attempted UNCONDITIONALLY — one
+    // banked scaling reading beats none, and the headline is already
+    // safely emitted.
+    var lastRepCost = Double.NaN
+    var lastStageCost = Double.NaN
     for (proto <- protocols) {
-      // stage the corpus as a real on-disk table once per protocol (both
-      // parallelism levels then read identical input files, like an
-      // Iceberg snapshot); cleaned up before the next protocol stages
-      val corpusDir =
-        java.nio.file.Files.createTempDirectory(s"graft-bench-${proto.label}").toString
-      val hook = new Thread(() => deleteDir(corpusDir))
-      Runtime.getRuntime.addShutdownHook(hook)
-      try {
-        val stager = session(cpus)
-        SyntheticPages.generate(stager, proto.scaleN)
-          .write.mode("overwrite").parquet(corpusDir)
-        stager.stop()
+      val projected =
+        if (lastRepCost.isNaN) Double.NaN
+        else (lastStageCost + lastRepCost) *
+          (proto.scaleN.toDouble / protocols.head.scaleN) * 1.1
+      if (proto.label != "spillfree" && !projected.isNaN && projected > remaining) {
+        System.err.println(f"GRAFT_BENCH_HEARTBEAT phase=skip-${proto.label} " +
+          f"projected_s=$projected%.0f remaining_s=$remaining%.0f")
+      } else {
+        // stage the corpus as a real on-disk table once per protocol (both
+        // parallelism levels then read identical input files, like an
+        // Iceberg snapshot); cleaned up before the next protocol stages
+        val corpusDir =
+          java.nio.file.Files.createTempDirectory(s"graft-bench-${proto.label}").toString
+        val hook = new Thread(() => deleteDir(corpusDir))
+        Runtime.getRuntime.addShutdownHook(hook)
         try {
-          for (_ <- 1 to reps(proto.label)) {
-            proto.loRuns += spawnLevel(corpusDir, lo)._1
-            val (t, r) = spawnLevel(corpusDir, hi)
-            proto.hiRuns += t
-            proto.recall = r // planted recall computed in-child on the hi result
-            emitScaling()
+          val tStage = System.nanoTime()
+          val stager = session(cpus)
+          SyntheticPages.generate(stager, proto.scaleN)
+            .write.mode("overwrite").parquet(corpusDir)
+          stager.stop()
+          lastStageCost = (System.nanoTime() - tStage) / 1e9
+          heartbeat(s"staged-${proto.label}")
+          try {
+            var rep = 1
+            var cont = true
+            while (cont && rep <= reps(proto.label)) {
+              val skipForBudget = !(proto.label == "spillfree" && rep == 1) &&
+                !lastRepCost.isNaN && lastRepCost * 1.1 > remaining
+              if (skipForBudget) {
+                System.err.println(f"GRAFT_BENCH_HEARTBEAT phase=budget-stop-${proto.label} " +
+                  f"rep=$rep projected_s=${lastRepCost * 1.1}%.0f remaining_s=$remaining%.0f")
+                cont = false
+              } else {
+                val tRep = System.nanoTime()
+                proto.loRuns += spawnLevel(corpusDir, lo)._1
+                heartbeat(s"${proto.label}-rep$rep-lo")
+                val (t, r) = spawnLevel(corpusDir, hi)
+                proto.hiRuns += t
+                proto.recall = r // planted recall computed in-child on the hi result
+                lastRepCost = (System.nanoTime() - tRep) / 1e9
+                heartbeat(s"${proto.label}-rep$rep-hi")
+                emitScaling()
+                rep += 1
+              }
+            }
+          } catch {
+            case e: Exception =>
+              // fallback: in-JVM levels (soft local[n] caps — pessimistic
+              // efficiency, but the bench still completes end-to-end)
+              System.err.println(s"scale-child spawn failed (${proto.label}), in-JVM fallback: $e")
+              proto.loRuns.clear(); proto.hiRuns.clear()
+              for (_ <- 1 to reps(proto.label)) {
+                s = session(lo)
+                proto.loRuns += runPipeline(s, s.read.parquet(corpusDir), stageLaps = false)._1
+                s = session(hi)
+                val (t, r, _) = runPipeline(s, s.read.parquet(corpusDir),
+                  keep = true, stageLaps = false)
+                proto.hiRuns += t
+                proto.recall = plantedRecall(s.read.parquet(corpusDir), r.verifiedPairs)
+                r.signatures.unpersist(); r.verifiedPairs.unpersist()
+                r.candidatePairs.unpersist()
+                emitScaling()
+              }
+              s.stop()
           }
         } catch {
           case e: Exception =>
-            // fallback: in-JVM levels (soft local[n] caps — pessimistic
-            // efficiency, but the bench still completes end-to-end)
-            System.err.println(s"scale-child spawn failed (${proto.label}), in-JVM fallback: $e")
-            proto.loRuns.clear(); proto.hiRuns.clear()
-            for (_ <- 1 to reps(proto.label)) {
-              s = session(lo)
-              proto.loRuns += runPipeline(s, s.read.parquet(corpusDir))._1
-              s = session(hi)
-              val (t, r, _) = runPipeline(s, s.read.parquet(corpusDir), keep = true)
-              proto.hiRuns += t
-              proto.recall = plantedRecall(s.read.parquet(corpusDir), r.verifiedPairs)
-              r.signatures.unpersist(); r.verifiedPairs.unpersist()
-              r.candidatePairs.unpersist()
-              emitScaling()
-            }
-            s.stop()
+            // a dead protocol must not take the other one down with it —
+            // emit what exists and move on
+            System.err.println(s"scaling protocol ${proto.label} failed: $e")
+        } finally {
+          deleteDir(corpusDir)
+          scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))
         }
-      } catch {
-        case e: Exception =>
-          // a dead protocol must not take the other one down with it —
-          // emit what exists and move on
-          System.err.println(s"scaling protocol ${proto.label} failed: $e")
-      } finally {
-        deleteDir(corpusDir)
-        scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))
       }
     }
     // final emission: re-emits the same numbers as the LAST line on
     // stdout, the one the harness keeps. Stdout is unprefixed via
     // run/outputStrategy := StdoutOutput, and the file copy lets a
     // log-wrapping harness always recover the JSON.
+    heartbeat("done")
     emitScaling()
+    if (protocols.forall(p => !p.complete)) emit()
   }
 }
