@@ -24,9 +24,12 @@ import graft.pipeline.{DedupConfig, DedupPipeline, DedupStages}
  *    is attributable from the artifact without host access
  *  - the whole run fits a wall budget (`SPARK_GRAFT_BENCH_BUDGET_S`,
  *    default 1000 s ≈ a 15–20-min harness window with margin): the
- *    scaling phase runs the spillfree protocol first (min-of-2), then
- *    further reps / the tuned protocol ONLY while the projected cost of
- *    the next step fits the remaining budget.
+ *    scaling phase runs the spillfree protocol first, then further reps
+ *    / the tuned protocol ONLY while the projected cost of the next step
+ *    fits the remaining budget; each scaling child gets a wall budget
+ *    and the parent enforces it with a watchdog that salvages the
+ *    child's already-printed run walls, so the bench ALWAYS exits 0
+ *    with the most complete record the window allowed.
  *
  * Headline robustness: `pipeline_full` is the MIN of two measured runs
  * after a warm-up (one noisy multi-tenant window wrote a 3.2×-inflated
@@ -42,9 +45,11 @@ import graft.pipeline.{DedupConfig, DedupPipeline, DedupStages}
  * at both plus efficiency = (docs_s_4n / docs_s_n) / 4, under TWO
  * protocols:
  *
- *  - `spillfree`  — shuffle partitions = cores, corpus sized so both
- *    levels stay in the spill-free regime; the cleanest single-box
- *    estimate of the job's own scaling.
+ *  - `spillfree`  — shuffle partitions = cores, corpus sized (default
+ *    400k docs) so both levels stay in the spill-free regime AND one
+ *    full rep fits a harness window; each level's wall is the
+ *    STEADY-STATE min over repeated in-child runs (see `runScaleChild`).
+ *    The cleanest single-box estimate of the job's own scaling.
  *  - `tuned`      — 1.8M docs (per-cluster-size tuning, the protocol
  *    production jobs use): at this corpus the 2-core level's
  *    4×-per-partition aggregation state spills, which INFLATES the ratio
@@ -67,13 +72,18 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // the staged 1.2M-doc corpus is ~620 MB: at the 128 MB default it
       // coalesces into ~5 scan partitions and the fused probe scan — the
       // bulk of ALL pipeline compute, which lives in the scan stage —
       // runs 5-wide regardless of cores, capping measured scaling at
-      // ~0.58. 16 MB → ~40 splits keeps every level fully parallel.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // ~0.58. 16 MB → ~40 splits keeps every level fully parallel; at
+      // the 400k spillfree corpus (~210 MB) 8 MB avoids last-wave
+      // quantization on the 8-core leg (13 splits / 8 cores = a 38%-idle
+      // second wave on the dominant scan stage).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "8m"))
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -161,62 +171,173 @@ object Bench {
   // before the measured run (a cold child would tax both levels with the
   // same fixed cost, dragging the ratio toward 1/4).
 
-  private def runScaleChild(corpusDir: String, cpus: Int, warmN: Long): Unit = {
+  private def runScaleChild(corpusDir: String, cpus: Int, warmN: Long,
+                            budgetS: Double, withRecall: Boolean): Unit = {
+    val t0 = System.nanoTime()
+    def childElapsed: Double = (System.nanoTime() - t0) / 1e9
     val s = session(cpus)
-    val (_, _, _) = runPipeline(s, DedupStages.withSource(
-      SyntheticPages.generate(s, warmN)), stageLaps = false) // JIT warm-up, discarded
+    // The reported wall is the MIN over consecutive executions of the SAME
+    // job in the same child, run until STEADY STATE: run 1 pays one-time
+    // per-JVM costs (whole-stage-codegen compilation of every stage, C2
+    // JIT of the generated classes, scheduler/parquet-footer warmup) that
+    // a small warmup corpus does not reach — measured 01/2026 at 400k
+    // docs / 8 cores: run walls 269 s → 72 s → 56 s. On the 100-TB
+    // cluster the north rule targets, executors are long-running and
+    // those costs are <0.1% of the job, so the steady-state rate is the
+    // honest per-level estimator; every run wall is still printed (and
+    // banked in the JSON) for transparency. Convergence: at least
+    // `minRuns`, then keep going while the latest run improved the best
+    // by >8%, up to `maxRuns`, never starting a run that cannot fit the
+    // child's wall budget (run 1 is always attempted — one banked wall
+    // beats none). When minRuns >= 2 the synthetic JIT warm-up is
+    // skipped: run 1 IS the warm-up (it covers the same code paths plus
+    // the parquet read) and its wall never wins the min.
+    val minRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHILD_RUNS", "2").toInt
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHILD_MAX_RUNS", "4").toInt
+    // the HIGH-core leg JIT-warms on a small synthetic corpus first: its
+    // measured runs are short, so the one-time codegen/C2 cost is a large
+    // multiple of its steady wall (cold ≈ 2–4× steady at 8 cores) and a
+    // cheap warm-up brings run 1 close to steady; the LOW leg's long runs
+    // amortize JIT in-run (cold ≈ 1.1× steady at 2 cores, measured
+    // 298 s → 270 s), so a warm-up there would cost more wall than it
+    // saves in a budgeted window
+    if (cpus >= 4)
+      runPipeline(s, DedupStages.withSource(
+        SyntheticPages.generate(s, warmN)), stageLaps = false) // JIT warm-up, discarded
     val pages = s.read.parquet(corpusDir)
-    val (secs, r, _) = runPipeline(s, pages, keep = true, stageLaps = false)
-    val recall = plantedRecall(pages, r.verifiedPairs)
-    println(f"GRAFT_SCALE_WALL=$secs%.3f")
-    println(f"GRAFT_SCALE_RECALL=$recall%.4f")
+    var best = Double.MaxValue
+    var lastResult: DedupPipeline.Result = null
+    var i = 0
+    var cont = true
+    while (cont && i < maxRuns) {
+      i += 1
+      val (secs, r, _) = runPipeline(s, pages, keep = withRecall, stageLaps = false)
+      if (withRecall) {
+        if (lastResult != null) {
+          lastResult.signatures.unpersist(); lastResult.verifiedPairs.unpersist()
+          lastResult.candidatePairs.unpersist()
+        }
+        lastResult = r
+      }
+      println(f"GRAFT_SCALE_RUN_WALL=$secs%.3f")
+      Console.out.flush() // partial walls must reach a watchdog-killed parent
+      val improved = secs < best * 0.90
+      best = math.min(best, secs)
+      // projected next-run wall: after run 1 the JVM is warm, so the next
+      // run is expected well UNDER the cold wall (measured 0.37–0.60×);
+      // projecting run 2 at the cold wall made a budgeted child stop
+      // after one cold run and bank a non-steady wall
+      val nextEst = best * (if (i == 1) 0.6 else 1.05)
+      cont = (i < minRuns || improved) && childElapsed + nextEst <= budgetS
+    }
+    println(f"GRAFT_SCALE_WALL=$best%.3f")
+    // recall is banked once per rep from the hi-level child; the lo child
+    // skips the two extra full-corpus joins (pure wall-budget waste — the
+    // parent discarded its number anyway, and it runs on the FEWEST cores)
+    if (withRecall) {
+      val recall = plantedRecall(pages, lastResult.verifiedPairs)
+      println(f"GRAFT_SCALE_RECALL=$recall%.4f")
+    }
+    Console.out.flush()
     s.stop()
   }
 
-  /** Spawn one pinned scaling-level child; returns (wall_s, recall). */
-  private def spawnLevel(corpusDir: String, cpus: Int): (Double, Double) = {
+  /** A scaling child was stopped by the wall budget (watchdog kill with
+    * no banked wall): the protocol loop stops cleanly — it must NOT fall
+    * back to the in-JVM path, which would blow the budget further. */
+  private final class BudgetKill(msg: String) extends RuntimeException(msg)
+
+  /** Spawn one pinned scaling-level child; returns (wall_s, recall — NaN
+    * unless `withRecall` and the child reached it, all in-child run
+    * walls). `budgetS` is passed to the child (it will not START a run
+    * that cannot fit) and enforced here with a watchdog (budget + grace):
+    * a killed child's already-printed run walls are still salvaged, so a
+    * starved window banks the partial steady-state evidence instead of
+    * nothing (the round-4 rc-124 lesson). */
+  private def spawnLevel(corpusDir: String, cpus: Int, budgetS: Double,
+                         withRecall: Boolean): (Double, Double, Seq[Double]) = {
     import scala.jdk.CollectionConverters._
     val affinity = sys.env.getOrElse("SPARK_GRAFT_SCALE_AFFINITY", "on") == "on" &&
       java.nio.file.Files.isExecutable(java.nio.file.Paths.get("/usr/bin/taskset"))
     val pin = if (affinity) Seq("taskset", "-c", s"0-${cpus - 1}") else Nil
+    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq.filterNot(_.startsWith("-Xmx")) :+
-      s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")}"
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) ++
+      // -Xms = -Xmx: heap-growth full-GC storms dominated the children's
+      // cold first run (269 s vs 56 s steady at 400k docs / 8 cores,
+      // measured 01/2026) and bled into run 2; a pre-sized heap makes the
+      // steady state reachable by the second run
+      Seq(s"-Xmx$childMem", s"-Xms$childMem")
     val cmd = pin ++ Seq(s"${System.getProperty("java.home")}/bin/java") ++
       jvmArgs ++ Seq("-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "scale-child", corpusDir, cpus.toString)
+        "graft.Bench", "scale-child", corpusDir, cpus.toString,
+        f"$budgetS%.0f") ++
+      (if (withRecall) Seq("recall") else Nil)
     val pb = new ProcessBuilder(cmd.asJava)
       .redirectErrorStream(false)
       .redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val code = proc.waitFor()
+    // drain stdout on a thread so a watchdog kill still sees the walls
+    // printed (and flushed) before the kill
+    val buf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => proc.getInputStream.transferTo(buf))
+    drain.setDaemon(true)
+    drain.start()
+    val grace = 90L
+    val done = proc.waitFor(budgetS.toLong + grace, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) {
+      System.err.println(f"GRAFT_BENCH_HEARTBEAT phase=watchdog-kill cpus=$cpus " +
+        f"budget_s=$budgetS%.0f")
+      proc.destroyForcibly()
+      proc.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    drain.join(5000)
+    val out = buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+    val code = if (proc.isAlive) -1 else proc.exitValue()
     def grab(key: String): Option[Double] =
       s"$key=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
-    (for { w <- grab("GRAFT_SCALE_WALL"); r <- grab("GRAFT_SCALE_RECALL") }
-      yield (w, r)).getOrElse(
-      sys.error(s"scale child (cpus=$cpus) exited $code without metrics:\n$out"))
+    val runWalls = "GRAFT_SCALE_RUN_WALL=([0-9.]+)".r
+      .findAllMatchIn(out).map(_.group(1).toDouble).toSeq
+    val wall = grab("GRAFT_SCALE_WALL")
+      .orElse(if (runWalls.nonEmpty) Some(runWalls.min) else None)
+    val recall = if (withRecall) grab("GRAFT_SCALE_RECALL").getOrElse(Double.NaN)
+                 else Double.NaN
+    wall match {
+      case Some(w) => (w, recall, runWalls)
+      case None if !done =>
+        throw new BudgetKill(s"scale child (cpus=$cpus) hit the watchdog before any run wall")
+      case None =>
+        sys.error(s"scale child (cpus=$cpus) exited $code without metrics:\n$out")
+    }
   }
 
   /** Mutable per-protocol scaling state (filled rep by rep). */
   private final class ProtoState(val label: String, val scaleN: Long) {
     val loRuns = scala.collection.mutable.ListBuffer.empty[Double]
     val hiRuns = scala.collection.mutable.ListBuffer.empty[Double]
+    // every in-child run wall (incl. the cold run 1 of each child), banked
+    // for transparency — the headline efficiency uses the per-level MIN
+    val loAllRuns = scala.collection.mutable.ListBuffer.empty[Double]
+    val hiAllRuns = scala.collection.mutable.ListBuffer.empty[Double]
     var recall: Double = -1.0
     def complete: Boolean = loRuns.nonEmpty && hiRuns.nonEmpty
     def efficiency: Double = {
       val (tl, th) = (loRuns.min, hiRuns.min)
       ((scaleN / th) / (scaleN / tl)) / 4.0
     }
+    private def arr(xs: Seq[Double]) =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     def json: String =
-      s""""$label":{"scale_n":$scaleN,"min_of_k":${math.min(loRuns.size, hiRuns.size)},"docs_per_sec_n":${f"${scaleN / loRuns.min}%.1f"},"docs_per_sec_4n":${f"${scaleN / hiRuns.min}%.1f"},"wall_s_n":${f"${loRuns.min}%.3f"},"wall_s_4n":${f"${hiRuns.min}%.3f"},"recall":${f"$recall%.4f"},"efficiency":${f"$efficiency%.3f"}}"""
+      s""""$label":{"scale_n":$scaleN,"min_of_k":${math.min(loRuns.size, hiRuns.size)},"docs_per_sec_n":${f"${scaleN / loRuns.min}%.1f"},"docs_per_sec_4n":${f"${scaleN / hiRuns.min}%.1f"},"wall_s_n":${f"${loRuns.min}%.3f"},"wall_s_4n":${f"${hiRuns.min}%.3f"},"wall_runs_n":${arr(loAllRuns.toSeq)},"wall_runs_4n":${arr(hiAllRuns.toSeq)},"recall":${f"$recall%.4f"},"efficiency":${f"$efficiency%.3f"}}"""
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("scale-child")) {
       runScaleChild(args(1), args(2).toInt,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM_N", "60000").toLong)
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM_N", "60000").toLong,
+        budgetS = args.lift(3).map(_.toDouble).getOrElse(Double.MaxValue),
+        withRecall = args.lift(4).contains("recall"))
       return
     }
     val tStart = System.nanoTime()
@@ -336,7 +457,7 @@ object Bench {
     val hi = lo * 4
     val protocols = Seq(
       new ProtoState("spillfree",
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_SPILLFREE_N", "1600000").toLong),
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_SPILLFREE_N", "400000").toLong),
       new ProtoState("tuned",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1800000").toLong))
     // min-of-2 for BOTH protocols: on a contended host a single spillfree
@@ -418,18 +539,35 @@ object Bench {
                 cont = false
               } else {
                 val tRep = System.nanoTime()
-                proto.loRuns += spawnLevel(corpusDir, lo)._1
-                heartbeat(s"${proto.label}-rep$rep-lo")
-                val (t, r) = spawnLevel(corpusDir, hi)
+                // hi leg FIRST: it is ~2× cheaper (8 cores) and carries the
+                // recall join, so a window that dies mid-rep has already
+                // banked the expensive-to-replace numbers; its child budget
+                // is capped at 45% of what remains so the lo leg always
+                // gets its share
+                val margin = 60.0
+                val hiBudget = math.max(120.0, (remaining - margin) * 0.45)
+                val (t, r, runsHi) = spawnLevel(corpusDir, hi, hiBudget, withRecall = true)
                 proto.hiRuns += t
-                proto.recall = r // planted recall computed in-child on the hi result
-                lastRepCost = (System.nanoTime() - tRep) / 1e9
+                proto.hiAllRuns ++= runsHi
+                if (!r.isNaN) proto.recall = r // planted recall, computed in-child
                 heartbeat(s"${proto.label}-rep$rep-hi")
+                val (tLo, _, runsLo) = spawnLevel(corpusDir, lo,
+                  math.max(120.0, remaining - margin), withRecall = false)
+                proto.loRuns += tLo
+                proto.loAllRuns ++= runsLo
+                lastRepCost = (System.nanoTime() - tRep) / 1e9
+                heartbeat(s"${proto.label}-rep$rep-lo")
                 emitScaling()
                 rep += 1
               }
             }
           } catch {
+            case e: BudgetKill =>
+              // watchdog stop with nothing banked for that leg: end the
+              // protocol cleanly (emitting what exists) — NO fallback,
+              // which would blow the budget further
+              System.err.println(s"scaling protocol ${proto.label} budget-stopped: ${e.getMessage}")
+              emitScaling()
             case e: Exception =>
               // fallback: in-JVM levels (soft local[n] caps — pessimistic
               // efficiency, but the bench still completes end-to-end)
@@ -438,10 +576,12 @@ object Bench {
               for (_ <- 1 to reps(proto.label)) {
                 s = session(lo)
                 proto.loRuns += runPipeline(s, s.read.parquet(corpusDir), stageLaps = false)._1
+                proto.loAllRuns += proto.loRuns.last
                 s = session(hi)
                 val (t, r, _) = runPipeline(s, s.read.parquet(corpusDir),
                   keep = true, stageLaps = false)
                 proto.hiRuns += t
+                proto.hiAllRuns += t
                 proto.recall = plantedRecall(s.read.parquet(corpusDir), r.verifiedPairs)
                 r.signatures.unpersist(); r.verifiedPairs.unpersist()
                 r.candidatePairs.unpersist()
