@@ -48,6 +48,48 @@ object Profile {
       spark.stop(); return
     }
 
+    // serial-component mode: run the pipeline repeatedly over a staged
+    // parquet corpus with a job listener; the wall NOT covered by any
+    // Spark job (gaps = driver planning/AQE/collect/broadcast) is the
+    // Amdahl serial term that caps measured N→4N scaling efficiency
+    // (eff = lo/(4·hi) with hi = S + W/8: at 400k docs S ≈ 10 s of the
+    // ~48 s 8-core steady wall). Prints per-job walls of the last run.
+    sys.env.get("SPARK_GRAFT_PROFILE_SERIAL").foreach { dir =>
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(j.jobId, (j.time, -1L,
+            Option(j.properties.getProperty("spark.job.description")).getOrElse("")))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val prev = jobs.get(j.jobId)
+          if (prev != null) jobs.put(j.jobId, (prev._1, j.time, prev._3))
+        }
+      })
+      for (i <- 1 to 3) {
+        jobs.clear()
+        val t0 = System.nanoTime()
+        val r = DedupPipeline.run(spark, spark.read.parquet(dir), cfg)
+        r.merged.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        r.signatures.unpersist(); r.verifiedPairs.unpersist(); r.candidatePairs.unpersist()
+        import scala.jdk.CollectionConverters._
+        val done = jobs.asScala.values.filter(_._2 > 0).toSeq.sortBy(_._1)
+        val jobSum = done.map { case (s, e, _) => (e - s) / 1e3 }.sum
+        // covered wall: union of job intervals (jobs can overlap under AQE)
+        var covered = 0.0; var curS = -1L; var curE = -1L
+        for ((s, e, _) <- done) {
+          if (s > curE) { if (curE > 0) covered += (curE - curS) / 1e3; curS = s; curE = e }
+          else curE = math.max(curE, e)
+        }
+        if (curE > 0) covered += (curE - curS) / 1e3
+        println(f"[serial] run=$i wall=$wall%.2fs jobs=${done.size} jobSum=$jobSum%.2fs covered=$covered%.2fs gap=${wall - covered}%.2fs")
+        if (i == 3) done.foreach { case (s, e, d) =>
+          println(f"[serial-job] ${(e - s) / 1e3}%7.2fs  ${d.take(90)}")
+        }
+      }
+      spark.stop(); return
+    }
+
     val pages = SyntheticPages.generate(spark, n)
     t("warm-gen-count") { pages.count() }
     // lean path — what DedupPipeline.run actually executes
