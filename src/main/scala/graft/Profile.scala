@@ -56,6 +56,9 @@ object Profile {
     // ~48 s 8-core steady wall). Prints per-job walls of the last run.
     sys.env.get("SPARK_GRAFT_PROFILE_SERIAL").foreach { dir =>
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]()
+      val taskMs = new java.util.concurrent.atomic.AtomicLong(0) // executorRunTime
+      val cpuMs = new java.util.concurrent.atomic.AtomicLong(0)  // executorCpuTime
+      val stageTask = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobs.put(j.jobId, (j.time, -1L,
@@ -64,9 +67,19 @@ object Profile {
           val prev = jobs.get(j.jobId)
           if (prev != null) jobs.put(j.jobId, (prev._1, j.time, prev._3))
         }
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) {
+            taskMs.addAndGet(t.taskMetrics.executorRunTime)
+            cpuMs.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
+            stageTask.merge(t.stageId, (t.taskMetrics.executorRunTime, 1, ""),
+              (a, b) => (a._1 + b._1, a._2 + b._2, a._3))
+          }
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stageTask.merge(sc.stageInfo.stageId, (0L, 0, sc.stageInfo.name),
+            (a, b) => (a._1, a._2, if (b._3.nonEmpty) b._3 else a._3))
       })
       for (i <- 1 to 3) {
-        jobs.clear()
+        jobs.clear(); stageTask.clear(); taskMs.set(0); cpuMs.set(0)
         val t0 = System.nanoTime()
         val r = DedupPipeline.run(spark, spark.read.parquet(dir), cfg)
         r.merged.count()
@@ -82,9 +95,18 @@ object Profile {
           else curE = math.max(curE, e)
         }
         if (curE > 0) covered += (curE - curS) / 1e3
-        println(f"[serial] run=$i wall=$wall%.2fs jobs=${done.size} jobSum=$jobSum%.2fs covered=$covered%.2fs gap=${wall - covered}%.2fs")
-        if (i == 3) done.foreach { case (s, e, d) =>
-          println(f"[serial-job] ${(e - s) / 1e3}%7.2fs  ${d.take(90)}")
+        val util = taskMs.get / 1e3 / (cpus * wall)
+        val cpuUtil = cpuMs.get / 1e3 / (cpus * wall)
+        println(f"[serial] run=$i wall=$wall%.2fs jobs=${done.size} jobSum=$jobSum%.2fs covered=$covered%.2fs gap=${wall - covered}%.2fs taskUtil=$util%.2f cpuUtil=$cpuUtil%.2f")
+        if (i == 3) {
+          done.foreach { case (s, e, d) =>
+            println(f"[serial-job] ${(e - s) / 1e3}%7.2fs  ${d.take(90)}")
+          }
+          import scala.jdk.CollectionConverters._
+          stageTask.asScala.toSeq.sortBy(-_._2._1).take(15).foreach {
+            case (id, (ms, nt, name)) =>
+              println(f"[serial-stage] $id%4d ${ms / 1e3}%8.2f core-s $nt%4d tasks  ${name.take(70)}")
+          }
         }
       }
       spark.stop(); return
