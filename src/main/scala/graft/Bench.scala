@@ -194,7 +194,7 @@ object Bench {
     // skipped: run 1 IS the warm-up (it covers the same code paths plus
     // the parquet read) and its wall never wins the min.
     val minRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHILD_RUNS", "2").toInt
-    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHILD_MAX_RUNS", "4").toInt
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHILD_MAX_RUNS", "3").toInt
     // the HIGH-core leg JIT-warms on a small synthetic corpus first: its
     // measured runs are short, so the one-time codegen/C2 cost is a large
     // multiple of its steady wall (cold ≈ 2–4× steady at 8 cores) and a
@@ -202,7 +202,7 @@ object Bench {
     // amortize JIT in-run (cold ≈ 1.1× steady at 2 cores, measured
     // 298 s → 270 s), so a warm-up there would cost more wall than it
     // saves in a budgeted window
-    if (cpus >= 4)
+    if (cpus >= 4 && warmN > 0)
       runPipeline(s, DedupStages.withSource(
         SyntheticPages.generate(s, warmN)), stageLaps = false) // JIT warm-up, discarded
     val pages = s.read.parquet(corpusDir)
@@ -229,7 +229,13 @@ object Bench {
       // projecting run 2 at the cold wall made a budgeted child stop
       // after one cold run and bank a non-steady wall
       val nextEst = best * (if (i == 1) 0.6 else 1.05)
-      cont = (i < minRuns || improved) && childElapsed + nextEst <= budgetS
+      // reaching minRuns may softly overrun the budget by up to 70 s: a
+      // single-run leg banks a COLD wall that biases the efficiency
+      // ratio (one contended rehearsal banked lo=cold-only 453 s vs
+      // hi=steady → a meaningless 2.19); the parent's watchdog kills at
+      // budget+90 and salvages printed walls, so the bet is bounded
+      val slack = if (i < minRuns) 70.0 else 0.0
+      cont = (i < minRuns || improved) && childElapsed + nextEst <= budgetS + slack
     }
     println(f"GRAFT_SCALE_WALL=$best%.3f")
     // recall is banked once per rep from the hi-level child; the lo child
@@ -256,7 +262,8 @@ object Bench {
     * starved window banks the partial steady-state evidence instead of
     * nothing (the round-4 rc-124 lesson). */
   private def spawnLevel(corpusDir: String, cpus: Int, budgetS: Double,
-                         withRecall: Boolean): (Double, Double, Seq[Double]) = {
+                         withRecall: Boolean,
+                         maxRunsOverride: Option[Int] = None): (Double, Double, Seq[Double]) = {
     import scala.jdk.CollectionConverters._
     val affinity = sys.env.getOrElse("SPARK_GRAFT_SCALE_AFFINITY", "on") == "on" &&
       java.nio.file.Files.isExecutable(java.nio.file.Paths.get("/usr/bin/taskset"))
@@ -278,6 +285,23 @@ object Bench {
     val pb = new ProcessBuilder(cmd.asJava)
       .redirectErrorStream(false)
       .redirectError(ProcessBuilder.Redirect.INHERIT)
+    // per-leg convergence depth (explicit env still wins): the HIGH leg's
+    // runs are short and its JIT floor is deep — rehearsal runs kept
+    // improving >10% at run 3 (100.6 → 59.8 → 49.8 s), so give it room
+    // to actually reach steady state; the LOW leg converges by run 2–3
+    // (cold ≈ 1.1–1.6× steady) and its runs are 3–4× longer, so extra
+    // runs there are pure window cost
+    maxRunsOverride match {
+      case Some(n) =>
+        pb.environment().put("SPARK_GRAFT_SCALE_CHILD_MAX_RUNS", n.toString)
+        // a retry child exists to squeeze samples out of a small leftover
+        // budget: its run 1 does the warming (and never wins the min)
+        pb.environment().put("SPARK_GRAFT_SCALE_WARM_N", "0")
+      case None =>
+        if (!sys.env.contains("SPARK_GRAFT_SCALE_CHILD_MAX_RUNS"))
+          pb.environment().put("SPARK_GRAFT_SCALE_CHILD_MAX_RUNS",
+            if (cpus >= 4) "5" else "3")
+    }
     val proc = pb.start()
     // drain stdout on a thread so a watchdog kill still sees the walls
     // printed (and flushed) before the kill
@@ -314,7 +338,7 @@ object Bench {
   }
 
   /** Mutable per-protocol scaling state (filled rep by rep). */
-  private final class ProtoState(val label: String, val scaleN: Long) {
+  private[graft] final class ProtoState(val label: String, val scaleN: Long) {
     val loRuns = scala.collection.mutable.ListBuffer.empty[Double]
     val hiRuns = scala.collection.mutable.ListBuffer.empty[Double]
     // every in-child run wall (incl. the cold run 1 of each child), banked
@@ -329,14 +353,32 @@ object Bench {
     }
     private def arr(xs: Seq[Double]) =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    // warm-run counts: a run is WARM only if it ran second-or-later
+    // within its own child JVM (two cold runs from two retry children
+    // must not count as steady). A leg is steady when it banked at least
+    // one warm run — the min then excludes pure cold-JIT walls; when only
+    // ONE leg is steady the ratio is biased (lo cold-only inflates it,
+    // hi cold-only deflates it) and the artifact must say so rather than
+    // let a 2.19 or 0.31 stand as if it were a scaling measurement
+    var loWarm = 0
+    var hiWarm = 0
+    def steadyLo: Boolean = loWarm >= 1
+    def steadyHi: Boolean = hiWarm >= 1
+    private def confound: String =
+      if (steadyLo == steadyHi) ""
+      else if (steadyHi) ",\"efficiency_confound\":\"lo leg banked only its cold run (budget/watchdog) while hi reached steady state: ratio biased HIGH, not a scaling measurement\""
+      else ",\"efficiency_confound\":\"hi leg banked only its cold run (budget/watchdog) while lo reached steady state: ratio biased LOW, not a scaling measurement\""
     def json: String =
-      s""""$label":{"scale_n":$scaleN,"min_of_k":${math.min(loRuns.size, hiRuns.size)},"docs_per_sec_n":${f"${scaleN / loRuns.min}%.1f"},"docs_per_sec_4n":${f"${scaleN / hiRuns.min}%.1f"},"wall_s_n":${f"${loRuns.min}%.3f"},"wall_s_4n":${f"${hiRuns.min}%.3f"},"wall_runs_n":${arr(loAllRuns.toSeq)},"wall_runs_4n":${arr(hiAllRuns.toSeq)},"recall":${f"$recall%.4f"},"efficiency":${f"$efficiency%.3f"}}"""
+      s""""$label":{"scale_n":$scaleN,"min_of_k":${math.min(loRuns.size, hiRuns.size)},"docs_per_sec_n":${f"${scaleN / loRuns.min}%.1f"},"docs_per_sec_4n":${f"${scaleN / hiRuns.min}%.1f"},"wall_s_n":${f"${loRuns.min}%.3f"},"wall_s_4n":${f"${hiRuns.min}%.3f"},"wall_runs_n":${arr(loAllRuns.toSeq)},"wall_runs_4n":${arr(hiAllRuns.toSeq)},"steady_n":$steadyLo,"steady_4n":$steadyHi$confound,"recall":${f"$recall%.4f"},"efficiency":${f"$efficiency%.3f"}}"""
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("scale-child")) {
       runScaleChild(args(1), args(2).toInt,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM_N", "60000").toLong,
+        // 30k: enough doc-loop iterations to trip every C2/codegen
+        // threshold (run 1 is discarded anyway) at half the window cost
+        // of the old 60k warm-up — a contended warm-up measured 120 s
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM_N", "30000").toLong,
         budgetS = args.lift(3).map(_.toDouble).getOrElse(Double.MaxValue),
         withRecall = args.lift(4).contains("recall"))
       return
@@ -458,7 +500,13 @@ object Bench {
     val hi = lo * 4
     val protocols = Seq(
       new ProtoState("spillfree",
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_SPILLFREE_N", "400000").toLong),
+        // 350k: the largest corpus whose lo leg reliably completes TWO
+        // in-child runs (cold + warm) inside a contended ~19-min harness
+        // window — at 400k the lo run 2 repeatedly missed its budget by
+        // ~20 s under foreign load, banking a flagged cold-only reading;
+        // the Amdahl fit (S ≈ 10 s serial, ~0.75 ms·core/doc) prices the
+        // size-down at ~0.02 efficiency (0.84 → 0.82 clean-window)
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_SPILLFREE_N", "350000").toLong),
       new ProtoState("tuned",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1800000").toLong))
     // min-of-2 for BOTH protocols: on a contended host a single spillfree
@@ -480,8 +528,10 @@ object Bench {
       recallField = s""","dup_pair_recall":${f"${done.map(_.recall).max}%.4f"}"""
       val effKeys = (tunedEff.map(e => s""""efficiency_tuned":${f"$e%.3f"}""") ++
         spillEff.map(e => s""""efficiency_spillfree":${f"$e%.3f"}""")).mkString(",")
+      val headSteady = done.find(_.label == "spillfree").orElse(done.headOption)
+        .exists(p => p.steadyLo && p.steadyHi)
       scalingJson =
-        s"""{"cores_n":$lo,"cores_4n":$hi,$effKeys,"efficiency_n_to_4n":${f"$headEff%.3f"},"protocols":{${done.map(_.json).mkString(",")}},"confound":"tuned (partitions=cores, 1.8M docs) puts the 2-core leg in a spill regime the 8-core leg avoids, inflating its ratio; spillfree is the clean single-box estimate (BENCH.md sensitivity table)"}"""
+        s"""{"cores_n":$lo,"cores_4n":$hi,$effKeys,"efficiency_n_to_4n":${f"$headEff%.3f"},"efficiency_steady":$headSteady,"protocols":{${done.map(_.json).mkString(",")}},"confound":"tuned (partitions=cores, 1.8M docs) puts the 2-core leg in a spill regime the 8-core leg avoids, inflating its ratio; spillfree is the clean single-box estimate (BENCH.md sensitivity table)"}"""
     }
     def emitScaling(): Unit = { buildScalingJson(); emit() }
 
@@ -546,20 +596,58 @@ object Bench {
                 // is capped at 45% of what remains so the lo leg always
                 // gets its share
                 val margin = 60.0
-                val hiBudget = math.max(120.0, (remaining - margin) * 0.45)
+                val hiBudget = math.max(120.0, (remaining - margin) * 0.40)
                 val (t, r, runsHi) = spawnLevel(corpusDir, hi, hiBudget, withRecall = true)
                 proto.hiRuns += t
                 proto.hiAllRuns ++= runsHi
+                proto.hiWarm += math.max(0, runsHi.size - 1)
                 if (!r.isNaN) proto.recall = r // planted recall, computed in-child
                 heartbeat(s"${proto.label}-rep$rep-hi")
                 val (tLo, _, runsLo) = spawnLevel(corpusDir, lo,
                   math.max(120.0, remaining - margin), withRecall = false)
                 proto.loRuns += tLo
                 proto.loAllRuns ++= runsLo
+                proto.loWarm += math.max(0, runsLo.size - 1)
                 lastRepCost = (System.nanoTime() - tRep) / 1e9
                 heartbeat(s"${proto.label}-rep$rep-lo")
                 emitScaling()
                 rep += 1
+              }
+            }
+            // leftover-budget retry of ONE leg: foreign load only ever
+            // ADDS wall, so each leg's min over samples is a consistent
+            // estimator of the box's capability and extra samples are
+            // always legitimate; all walls bank in wall_runs_* so the
+            // asymmetric sampling is transparent. Priority: a lo leg that
+            // never reached a warm run makes the ratio meaningless
+            // (biased HIGH) — retry it when enough window remains for
+            // cold+warm (~450 s); otherwise retry hi, whose contended
+            // sub-window is the ≥0.8-bar failure mode (biased LOW) and
+            // whose 2-run retry fits ~170 s — the tail of the bench
+            // window is typically its cleanest part.
+            if (proto.label == "spillfree" && proto.complete) {
+              val rem = remaining - 40.0
+              val retry: Option[(Int, Double)] =
+                if (!proto.steadyLo && rem >= 450.0) Some((lo, rem))
+                else if (proto.steadyLo && rem >= 140.0) Some((hi, math.min(rem, 300.0)))
+                else None
+              retry.foreach { case (cpusR, budgetR) =>
+                try {
+                  val (t2, _, runs2) = spawnLevel(corpusDir, cpusR, budgetR,
+                    withRecall = false, maxRunsOverride = Some(2))
+                  if (cpusR == lo) {
+                    proto.loRuns += t2; proto.loAllRuns ++= runs2
+                    proto.loWarm += math.max(0, runs2.size - 1)
+                  } else {
+                    proto.hiRuns += t2; proto.hiAllRuns ++= runs2
+                    proto.hiWarm += math.max(0, runs2.size - 1)
+                  }
+                  heartbeat(s"${proto.label}-retry-c$cpusR")
+                  emitScaling()
+                } catch {
+                  case e: Exception =>
+                    System.err.println(s"retry (cpus=$cpusR) skipped: ${e.getMessage}")
+                }
               }
             }
           } catch {
@@ -574,7 +662,9 @@ object Bench {
               // efficiency, but the bench still completes end-to-end)
               System.err.println(s"scale-child spawn failed (${proto.label}), in-JVM fallback: $e")
               proto.loRuns.clear(); proto.hiRuns.clear()
-              for (_ <- 1 to reps(proto.label)) {
+              for (rep <- 1 to reps(proto.label)) {
+                // same parent JVM: reps after the first run warm
+                if (rep > 1) { proto.loWarm += 1; proto.hiWarm += 1 }
                 s = session(lo)
                 proto.loRuns += runPipeline(s, s.read.parquet(corpusDir), stageLaps = false)._1
                 proto.loAllRuns += proto.loRuns.last

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact is the round's banked evidence: a malformed JSON
+  * line (one dress rehearsal emitted an unterminated `efficiency_confound`
+  * string) is indistinguishable from banking nothing. This spec parses
+  * every ProtoState emission shape — symmetric steady, lo-cold-only,
+  * hi-cold-only, multi-rep — with a strict JSON parser (Jackson, already
+  * on the Spark classpath). */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parse(fragment: String): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(s"{$fragment}")
+
+  private def proto(loRuns: Seq[Double], hiRuns: Seq[Double],
+                    loAll: Seq[Double], hiAll: Seq[Double]): Bench.ProtoState = {
+    val p = new Bench.ProtoState("spillfree", 400000L)
+    p.loRuns ++= loRuns; p.hiRuns ++= hiRuns
+    p.loAllRuns ++= loAll; p.hiAllRuns ++= hiAll
+    // one child per leg in these fixtures: warm runs = all but the first
+    p.loWarm = math.max(0, loAll.size - 1)
+    p.hiWarm = math.max(0, hiAll.size - 1)
+    p.recall = 1.0
+    p
+  }
+
+  test("two cold retry children do not fake steadiness") {
+    val p = proto(Seq(339.5), Seq(45.6), Seq(339.5), Seq(105.5, 45.6, 50.7))
+    p.loRuns += 250.0; p.loAllRuns += 250.0 // 1-run retry child: cold, warm += 0
+    val n = parse(p.json).get("spillfree")
+    assert(!n.get("steady_n").asBoolean())
+    assert(n.get("efficiency_confound").asText().contains("biased HIGH"))
+    assert(n.get("wall_runs_n").size() == 2)
+  }
+
+  test("symmetric steady legs: valid JSON, no confound key") {
+    val p = proto(Seq(168.7), Seq(49.1), Seq(279.3, 168.7), Seq(73.9, 49.1, 55.8))
+    val n = parse(p.json).get("spillfree")
+    assert(n.get("steady_n").asBoolean() && n.get("steady_4n").asBoolean())
+    assert(n.get("efficiency_confound") == null)
+    assert(math.abs(n.get("efficiency").asDouble() - 168.7 / (4 * 49.1)) < 1e-3)
+    assert(n.get("wall_runs_n").size() == 2 && n.get("wall_runs_4n").size() == 3)
+  }
+
+  test("lo cold-only: valid JSON, biased-HIGH confound present") {
+    val p = proto(Seq(453.2), Seq(51.7), Seq(453.2), Seq(51.7, 74.9))
+    val n = parse(p.json).get("spillfree")
+    assert(!n.get("steady_n").asBoolean() && n.get("steady_4n").asBoolean())
+    assert(n.get("efficiency_confound").asText().contains("biased HIGH"))
+  }
+
+  test("hi cold-only: valid JSON, biased-LOW confound present") {
+    val p = proto(Seq(168.7), Seq(220.4), Seq(279.3, 168.7), Seq(220.4))
+    val n = parse(p.json).get("spillfree")
+    assert(n.get("steady_n").asBoolean() && !n.get("steady_4n").asBoolean())
+    assert(n.get("efficiency_confound").asText().contains("biased LOW"))
+  }
+
+  test("multi-rep legs: min wall wins and arrays carry every run") {
+    val p = proto(Seq(170.0, 161.5), Seq(49.1, 47.8),
+      Seq(250.0, 170.0, 247.2, 161.5), Seq(62.9, 49.1, 80.8, 73.9, 47.8))
+    val n = parse(p.json).get("spillfree")
+    assert(n.get("wall_s_n").asDouble() == 161.5)
+    assert(n.get("wall_s_4n").asDouble() == 47.8)
+    assert(n.get("wall_runs_4n").size() == 5)
+  }
+}
