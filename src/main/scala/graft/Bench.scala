@@ -301,6 +301,16 @@ object Bench {
         if (!sys.env.contains("SPARK_GRAFT_SCALE_CHILD_MAX_RUNS"))
           pb.environment().put("SPARK_GRAFT_SCALE_CHILD_MAX_RUNS",
             if (cpus >= 4) "5" else "3")
+        // no synthetic JIT warm-up in spawned children: the corpus was
+        // just staged so the page cache is warm, and measured retry
+        // children (no warm-up) go cold 80 s → warm 45.6 s at 8 cores —
+        // the ~60-110 s a contended warm-up costs buys 1-2 more MEASURED
+        // runs instead, and run 1 (always banked, never the min) does
+        // the warming; maxRuns 5 + the improvement rule reach steady
+        // state without it. An explicit env still overrides for manual
+        // calibration runs.
+        if (!sys.env.contains("SPARK_GRAFT_SCALE_WARM_N"))
+          pb.environment().put("SPARK_GRAFT_SCALE_WARM_N", "0")
     }
     val proc = pb.start()
     // drain stdout on a thread so a watchdog kill still sees the walls
@@ -335,6 +345,33 @@ object Bench {
       case None =>
         sys.error(s"scale child (cpus=$cpus) exited $code without metrics:\n$out")
     }
+  }
+
+  /** Deadline-aware child budgets: every spawned child must be fully
+    * reaped — watchdog grace (90 s) + forcible-kill wait (15 s) +
+    * drain/emission slack (10 s) = 115 s — BEFORE the parent's overall
+    * budget expires, so a pathological window degrades to a smaller
+    * banked record, never to an rc-124 (the round-4 failure mode). The
+    * hi leg takes ≤40% of the window so the lo leg always gets its
+    * share; the 120 s floor yields to the deadline cap. */
+  private[graft] val ChildReapS = 115.0
+  private[graft] def hiChildBudget(remaining: Double): Double =
+    math.min(math.max(120.0, (remaining - 60.0) * 0.40),
+             math.max(60.0, remaining - ChildReapS))
+  private[graft] def loChildBudget(remaining: Double): Double =
+    math.min(math.max(120.0, remaining - 60.0),
+             math.max(60.0, remaining - ChildReapS))
+  /** Tail-retry plan: Some((retryLoLeg, childBudget)) when leftover
+    * window fits one more leg sample, None otherwise. A never-steady lo
+    * leg (ratio biased HIGH) outranks the hi retry and needs cold+warm
+    * (~450 s); a steady lo leaves the hi leg — the ≥0.8-bar failure
+    * mode (biased LOW) — a 2-run retry capped at 300 s. */
+  private[graft] def retryPlan(steadyLo: Boolean,
+                               remaining: Double): Option[(Boolean, Double)] = {
+    val rem = remaining - ChildReapS
+    if (!steadyLo && rem >= 450.0) Some((true, rem))
+    else if (steadyLo && rem >= 140.0) Some((false, math.min(rem, 300.0)))
+    else None
   }
 
   /** Mutable per-protocol scaling state (filled rep by rep). */
@@ -582,8 +619,14 @@ object Bench {
             var rep = 1
             var cont = true
             while (cont && rep <= reps(proto.label)) {
-              val skipForBudget = !(proto.label == "spillfree" && rep == 1) &&
-                !lastRepCost.isNaN && lastRepCost * 1.1 > remaining
+              // remaining < 180 skips even the otherwise-unconditional
+              // first spillfree rep: below that, the deadline cap would
+              // hand the child a ≤65 s budget — no 350k run fits (lo cold
+              // ≈ 300 s) and the 60 s budget floor would push a watchdog
+              // kill past the overall budget (rc-124 risk) for nothing
+              val skipForBudget = remaining < 180.0 ||
+                (!(proto.label == "spillfree" && rep == 1) &&
+                  !lastRepCost.isNaN && lastRepCost * 1.1 > remaining)
               if (skipForBudget) {
                 System.err.println(f"GRAFT_BENCH_HEARTBEAT phase=budget-stop-${proto.label} " +
                   f"rep=$rep projected_s=${lastRepCost * 1.1}%.0f remaining_s=$remaining%.0f")
@@ -592,19 +635,21 @@ object Bench {
                 val tRep = System.nanoTime()
                 // hi leg FIRST: it is ~2× cheaper (8 cores) and carries the
                 // recall join, so a window that dies mid-rep has already
-                // banked the expensive-to-replace numbers; its child budget
-                // is capped at 45% of what remains so the lo leg always
-                // gets its share
-                val margin = 60.0
-                val hiBudget = math.max(120.0, (remaining - margin) * 0.40)
-                val (t, r, runsHi) = spawnLevel(corpusDir, hi, hiBudget, withRecall = true)
+                // banked the expensive-to-replace numbers. Budgets are
+                // deadline-aware (see hiChildBudget/loChildBudget): the
+                // old flat 60 s margin was smaller than the watchdog
+                // grace, so a pathological window could overshoot the
+                // overall budget by ~50-70 s and hand the harness an
+                // rc-124 despite all the banking work
+                val (t, r, runsHi) =
+                  spawnLevel(corpusDir, hi, hiChildBudget(remaining), withRecall = true)
                 proto.hiRuns += t
                 proto.hiAllRuns ++= runsHi
                 proto.hiWarm += math.max(0, runsHi.size - 1)
                 if (!r.isNaN) proto.recall = r // planted recall, computed in-child
                 heartbeat(s"${proto.label}-rep$rep-hi")
                 val (tLo, _, runsLo) = spawnLevel(corpusDir, lo,
-                  math.max(120.0, remaining - margin), withRecall = false)
+                  loChildBudget(remaining), withRecall = false)
                 proto.loRuns += tLo
                 proto.loAllRuns ++= runsLo
                 proto.loWarm += math.max(0, runsLo.size - 1)
@@ -626,11 +671,12 @@ object Bench {
             // whose 2-run retry fits ~170 s — the tail of the bench
             // window is typically its cleanest part.
             if (proto.label == "spillfree" && proto.complete) {
-              val rem = remaining - 40.0
+              // same deadline cap as the rep legs (retryPlan): a killed
+              // retry child must leave the parent room to exit rc 0
+              // inside the budget
               val retry: Option[(Int, Double)] =
-                if (!proto.steadyLo && rem >= 450.0) Some((lo, rem))
-                else if (proto.steadyLo && rem >= 140.0) Some((hi, math.min(rem, 300.0)))
-                else None
+                retryPlan(proto.steadyLo, remaining)
+                  .map { case (loLeg, b) => (if (loLeg) lo else hi, b) }
               retry.foreach { case (cpusR, budgetR) =>
                 try {
                   val (t2, _, runs2) = spawnLevel(corpusDir, cpusR, budgetR,
@@ -662,7 +708,9 @@ object Bench {
               // efficiency, but the bench still completes end-to-end)
               System.err.println(s"scale-child spawn failed (${proto.label}), in-JVM fallback: $e")
               proto.loRuns.clear(); proto.hiRuns.clear()
-              for (rep <- 1 to reps(proto.label)) {
+              // in-JVM reps have no child watchdog: gate each on the
+              // remaining budget so the fallback cannot blow the window
+              for (rep <- 1 to reps(proto.label) if remaining > 120.0) {
                 // same parent JVM: reps after the first run warm
                 if (rep > 1) { proto.loWarm += 1; proto.hiWarm += 1 }
                 s = session(lo)

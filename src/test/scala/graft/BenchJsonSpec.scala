@@ -67,4 +67,36 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(n.get("wall_s_4n").asDouble() == 47.8)
     assert(n.get("wall_runs_4n").size() == 5)
   }
+
+  // ---- deadline-aware child budgets: a spawned child is reaped (watchdog
+  // grace 90 + kill-wait 15 + slack 10 = 115 s) BEFORE the parent's
+  // overall budget expires, for every remaining-window value — the
+  // invariant that turns a pathological window into a smaller banked
+  // record instead of an rc-124
+
+  test("child budgets never outlive the parent window (reap included)") {
+    // reps are gated on remaining >= 180, so that is the reachable domain
+    for (i <- 0 to 140; remaining = 180.0 + i * 7.3) {
+      assert(Bench.hiChildBudget(remaining) + Bench.ChildReapS <= remaining + 1e-9)
+      assert(Bench.loChildBudget(remaining) + Bench.ChildReapS <= remaining + 1e-9)
+    }
+    // the retry plan is reachable at ANY leftover window
+    for (i <- 0 to 164; steadyLo <- Seq(true, false); remaining = i * 7.3)
+      Bench.retryPlan(steadyLo, remaining).foreach { case (_, b) =>
+        assert(b + Bench.ChildReapS <= remaining + 1e-9)
+      }
+  }
+
+  test("hi leg keeps <=40% of a healthy window; lo gets the rest") {
+    assert(Bench.hiChildBudget(900.0) == (900.0 - 60.0) * 0.40)
+    assert(Bench.loChildBudget(900.0) == 900.0 - 115.0)
+  }
+
+  test("retry plan: never-steady lo outranks hi and needs cold+warm room") {
+    assert(Bench.retryPlan(steadyLo = false, 600.0).contains((true, 485.0)))
+    assert(Bench.retryPlan(steadyLo = false, 500.0).isEmpty) // < 450 after reap
+    assert(Bench.retryPlan(steadyLo = true, 600.0).contains((false, 300.0)))
+    assert(Bench.retryPlan(steadyLo = true, 300.0).contains((false, 185.0)))
+    assert(Bench.retryPlan(steadyLo = true, 250.0).isEmpty)
+  }
 }
