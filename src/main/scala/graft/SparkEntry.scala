@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.normalization._
-import graft.ops.{Multimodal, ProjectionDsl, RecordOps, Similarity, TextStats}
+import graft.ops.{Multimodal, ParagraphOps, ProjectionDsl, RecordOps, Similarity, TextStats}
 import graft.pipeline.{DedupConfig, DedupPipeline, DedupStages}
 import graft.text.Normalize
 
@@ -38,6 +38,27 @@ object SparkEntry {
   private val dupDocsSql =
     """dd AS (SELECT doc_id, text, lang, source FROM documents
       |  UNION ALL SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** The synthetic corpus is single-line (space-joined words), so the
+    * sub-document operators (ParagraphOps) would be vacuous on it.
+    * Rebuilds each doc as deterministic multi-segment text: tokens
+    * joined by spaces, with `sep` instead of the space after every
+    * n-th token. The DuckDB oracles reconstruct the identical chunks
+    * via `chunkSql` (generate_series + ordered string_agg). */
+  private def chunkedText(n: Int, sep: String): Column = {
+    val toks = filter(split(col("text"), " "), t => t =!= lit(""))
+    array_join(transform(toks, (t, i) =>
+      concat(t, when(((i + lit(1)) % n) === 0, lit(sep)).otherwise(lit(" ")))), "")
+  }
+
+  /** DuckDB CTEs mirroring `chunkedText(n, …)` + the split the operator
+    * itself performs: `chunks(doc_id, pos, par)` = n-token chunks of
+    * `src`'s text in token order. */
+  private def chunkSql(src: String, n: Int): String =
+    s"""base AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM $src),
+       |toks AS (SELECT doc_id, i, ts[i] AS tok FROM base, UNNEST(generate_series(1, len(ts))) AS g(i)),
+       |chunks AS (SELECT doc_id, CAST(floor((i-1)/$n) AS BIGINT) AS pos,
+       |  string_agg(tok, ' ' ORDER BY i) AS par FROM toks GROUP BY doc_id, floor((i-1)/$n))""".stripMargin
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -223,6 +244,38 @@ object SparkEntry {
         col("doc_id"),
         TextStats.tokenCount(t).cast("long").as("ws_tokens"),
         TextStats.bpeTokenCount(t).cast("long").as("bpe_tokens"))
+    }),
+
+    // ---- sub-document dedup / repetition (LLM web-pipeline operators):
+    // paragraph-granularity cross-corpus dedup (CCNet-style) and
+    // within-doc repetition quality signals (Gopher-style). The corpus
+    // is single-line, so docs are deterministically re-chunked into
+    // 15-token paragraphs / 5-token lines (plus doc_id%4 synthetic
+    // boilerplate lines) to make the operators non-vacuous; the planted
+    // exact clones (docsWithDups) make cross-doc paragraph dups certain.
+    "q_para_dup_stats" -> ((s, dir) =>
+      ParagraphOps.paragraphDupStats(
+          docsWithDups(s, dir).withColumn("text", chunkedText(15, "\n\n")))
+        .select(col("doc_id"), col("n_pars").cast("long").as("n_pars"),
+          col("n_dup_pars").cast("long").as("n_dup_pars"))),
+
+    "q_para_dedup" -> ((s, dir) =>
+      ParagraphOps.dedupParagraphs(
+          docsWithDups(s, dir).withColumn("text", chunkedText(15, "\n\n")))
+        .select(col("doc_id"), col("cleaned"))),
+
+    "q_boilerplate_pars" -> ((s, dir) =>
+      ParagraphOps.boilerplate(
+          docsWithDups(s, dir).withColumn("text", chunkedText(15, "\n\n")))
+        .select(col("ph"), col("n_occ").cast("long").as("n_occ"))),
+
+    "q_line_repetition" -> ((s, dir) => {
+      val boiler = array_join(
+        array_repeat(lit("all rights reserved"), (col("doc_id") % 4).cast("int")), "\n")
+      ParagraphOps.lineRepetitionStats(
+          docs(s, dir).withColumn("text",
+            concat_ws("\n", chunkedText(5, "\n"), boiler)))
+        .where(col("n_lines") > 0)
     }),
 
     // -------------------------------------- dedup channels (SURVEY §2.4, §7.0)
@@ -949,6 +1002,38 @@ object SparkEntry {
         |len(list_filter(string_split(tt, ' '), x -> x <> '')) AS ws_tokens,
         |len(regexp_extract_all(tt, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS bpe_tokens
         |FROM t""".stripMargin,
+
+    "q_para_dup_stats" ->
+      s"""WITH $dupDocsSql, ${chunkSql("dd", 15)},
+         |c AS (SELECT par, count(*) AS n_occ FROM chunks GROUP BY par)
+         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pars,
+         |  CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pars
+         |FROM chunks p JOIN c USING (par) GROUP BY p.doc_id""".stripMargin,
+
+    "q_para_dedup" ->
+      s"""WITH $dupDocsSql, ${chunkSql("dd", 15)},
+         |r AS (SELECT doc_id, pos, par,
+         |  row_number() OVER (PARTITION BY par ORDER BY doc_id, pos) AS rn FROM chunks)
+         |SELECT doc_id, string_agg(par, chr(10)||chr(10) ORDER BY pos) AS cleaned
+         |FROM r WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q_boilerplate_pars" ->
+      s"""WITH $dupDocsSql, ${chunkSql("dd", 15)}
+         |SELECT md5(par) AS ph, CAST(count(*) AS BIGINT) AS n_occ
+         |FROM chunks GROUP BY md5(par) HAVING count(*) >= 2""".stripMargin,
+
+    "q_line_repetition" ->
+      s"""WITH ${chunkSql("documents", 5)},
+         |lines AS (SELECT doc_id, par AS line FROM chunks
+         |  UNION ALL SELECT doc_id, 'all rights reserved'
+         |  FROM documents, UNNEST(generate_series(1, doc_id % 4)) b(j) WHERE doc_id % 4 > 0),
+         |c AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_lines,
+         |  CAST(floor(1000.0 * (sum(cnt) - count(*)) / sum(cnt)) AS BIGINT) AS dup_line_permille,
+         |  CAST(floor(1000.0 * sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
+         |       / sum(cnt * length(line))) AS BIGINT) AS dup_char_permille
+         |FROM c GROUP BY doc_id""".stripMargin,
 
     "q_exact_dup_pairs" ->
       s"""WITH $dupDocsSql,

@@ -48,6 +48,32 @@ class PlanSpec extends AnyFunSuite {
       "pair-participant semi-join missing — the verify stage would re-shingle the full corpus")
   }
 
+  test("paragraph dup stats shuffle hashes, never paragraph text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = parquetPages.selectExpr("url AS doc_id", "text")
+    // AQE wraps the physical plan until execution; disable it so the
+    // exchanges are inspectable pre-execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shuffledCols =
+      try graft.ops.ParagraphOps.paragraphDupStats(docs)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.child.output.map(_.name)
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(shuffledCols.nonEmpty)
+    shuffledCols.foreach(cols =>
+      assert(!cols.contains("par"),
+        s"paragraph text crosses a shuffle: ${cols.mkString(",")}"))
+  }
+
+  test("paragraph dedup plans no cartesian or nested-loop join") {
+    val docs = parquetPages.selectExpr("url AS doc_id", "text")
+    val plan = graft.ops.ParagraphOps.dedupParagraphs(docs)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("exact channel emits a star, not O(m^2) pairs") {
     import spark.implicits._
     // 50 identical docs -> 49 star edges
