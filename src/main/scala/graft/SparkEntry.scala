@@ -59,6 +59,42 @@ object SparkEntry {
        |toks AS (SELECT doc_id, i, ts[i] AS tok FROM base, UNNEST(generate_series(1, len(ts))) AS g(i)),
        |chunks AS (SELECT doc_id, CAST(floor((i-1)/$n) AS BIGINT) AS pos,
        |  string_agg(tok, ' ' ORDER BY i) AS par FROM toks GROUP BY doc_id, floor((i-1)/$n))""".stripMargin
+  /** Deterministically messy absolute URLs (6 variants by doc_id % 6:
+    * mixed-case host/scheme, default and non-default ports, fragments,
+    * tracking params, unsorted params, trailing slash, one non-URL) for
+    * exercising UrlOps.canonicalize; the oracle hand-specifies the
+    * expected canonical form per variant — independent of the
+    * implementation's regex mechanics. */
+  private def messyUrl: Column = {
+    val k = (col("doc_id") % 7).cast("string")
+    val id = col("doc_id").cast("string")
+    val m = col("doc_id") % 6
+    when(m === 0, concat(lit("https://Site"), k, lit(".Example.COM/p/"), id, lit("/")))
+      .when(m === 1, concat(lit("HTTP://site"), k, lit(".example.com:80/p/"), id,
+        lit("?utm_source=feed&b=2&a=1")))
+      .when(m === 2, concat(lit("https://site"), k, lit(".example.com:443/p/"), id,
+        lit("#section-2")))
+      .when(m === 3, concat(lit("http://site"), k, lit(".example.com/p/"), id,
+        lit("?a=1&utm_campaign=x&fbclid=abc&z=9")))
+      .when(m === 4, concat(lit("https://site"), k, lit(".example.com:8080/p/"), id))
+      .otherwise(concat(lit("not a url "), id))
+  }
+
+  /** Three URL spellings of the same page (doc_id grouped by 3): case +
+    * default-port + tracking/fragment variants that all canonicalize to
+    * one URL, so urlDedup's collapse is non-vacuous and its oracle can
+    * state the canonical form directly. */
+  private def cloneUrl: Column = {
+    val page = col("doc_id") - (col("doc_id") % 3)
+    val k = (page % 7).cast("string")
+    val p = page.cast("string")
+    val v = col("doc_id") % 3
+    when(v === 0, concat(lit("https://Site"), k, lit(".Example.COM/page/"), p, lit("/")))
+      .when(v === 1, concat(lit("HTTPS://site"), k, lit(".example.com:443/page/"), p))
+      .otherwise(concat(lit("https://site"), k, lit(".example.com/page/"), p,
+        lit("?utm_source=feed#x")))
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -276,6 +312,45 @@ object SparkEntry {
           docs(s, dir).withColumn("text",
             concat_ws("\n", chunkedText(5, "\n"), boiler)))
         .where(col("n_lines") > 0)
+    }),
+
+    // ---- URL canonicalization + URL-level dedup (the cheap pre-pass
+    // every web pipeline runs before content dedup). Inputs are
+    // deterministically-messy synthetic URLs (see messyUrl/cloneUrl);
+    // the oracles hand-specify the EXPECTED canonical form per variant,
+    // independent of the implementation.
+    "q_url_canonical" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), messyUrl.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.UrlOps.canonicalize(col("url")).as("canon"))),
+
+    "q_url_dedup" -> ((s, dir) =>
+      graft.ops.UrlOps.urlDedup(docs(s, dir).select(col("doc_id"), cloneUrl.as("url")))
+        .select(col("canon"), col("kept_doc_id"),
+          col("n_docs").cast("long").as("n_docs"))),
+
+    "q_domain_counts" -> ((s, dir) =>
+      graft.ops.UrlOps.domainCounts(docs(s, dir).select(col("doc_id"), messyUrl.as("url")))
+        .select(col("host"), col("n_docs").cast("long").as("n_docs"))),
+
+    // ---- Gopher-style composite quality gate (MassiveText rules) over
+    // deterministically decorated multi-line docs: %17 pure-bullet short
+    // docs, %13 ellipsis-line docs, %11 symbol-flooded docs, rest plain
+    // 7-token-per-line re-chunks; the oracle replays the same integer
+    // cross-multiplication rules in DuckDB.
+    "q_quality_gate" -> ((s, dir) => {
+      val deco = when(col("doc_id") % 17 === 0,
+          lit("- alpha beta\n- gamma delta\n- epsilon zeta\n- eta theta\n- iota kappa"))
+        .when(col("doc_id") % 13 === 1,
+          lit("we have the words to be sure...\nand that is of course more...\nwith more to come..."))
+        // strip chunkedText's trailing separator so the flood attaches to
+        // the LAST line on both sides (the oracle's string_agg
+        // reconstruction never has a trailing newline)
+        .when(col("doc_id") % 11 === 2, concat(
+          regexp_replace(chunkedText(7, "\n"), "[ \n]+$", ""),
+          lit(" # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # #")))
+        .otherwise(chunkedText(7, "\n"))
+      TextStats.qualityGate(docs(s, dir).withColumn("text", deco))
     }),
 
     // -------------------------------------- dedup channels (SURVEY §2.4, §7.0)
@@ -1034,6 +1109,77 @@ object SparkEntry {
          |  CAST(floor(1000.0 * sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
          |       / sum(cnt * length(line))) AS BIGINT) AS dup_char_permille
          |FROM c GROUP BY doc_id""".stripMargin,
+
+    // The URL oracles state the EXPECTED canonical form per messy
+    // variant by hand (no regex replay) — an implementation-independent
+    // specification of the canonicalization contract.
+    "q_url_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'https://Site' || (doc_id % 7) || '.Example.COM/p/' || doc_id || '/'
+        |    WHEN 1 THEN 'HTTP://site' || (doc_id % 7) || '.example.com:80/p/' || doc_id || '?utm_source=feed&b=2&a=1'
+        |    WHEN 2 THEN 'https://site' || (doc_id % 7) || '.example.com:443/p/' || doc_id || '#section-2'
+        |    WHEN 3 THEN 'http://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '?a=1&utm_campaign=x&fbclid=abc&z=9'
+        |    WHEN 4 THEN 'https://site' || (doc_id % 7) || '.example.com:8080/p/' || doc_id
+        |    ELSE 'not a url ' || doc_id END AS url,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+        |    WHEN 1 THEN 'http://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '?a=1&b=2'
+        |    WHEN 2 THEN 'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+        |    WHEN 3 THEN 'http://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '?a=1&z=9'
+        |    WHEN 4 THEN 'https://site' || (doc_id % 7) || '.example.com:8080/p/' || doc_id
+        |    ELSE 'not a url ' || doc_id END AS canon
+        |FROM documents""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH p AS (SELECT doc_id, doc_id - doc_id % 3 AS page FROM documents)
+        |SELECT 'https://site' || (page % 7) || '.example.com/page/' || page AS canon,
+        |  CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY page""".stripMargin,
+
+    "q_domain_counts" ->
+      """SELECT CASE WHEN doc_id % 6 = 5 THEN ''
+        |  ELSE 'site' || (doc_id % 7) || '.example.com' END AS host,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_quality_gate" ->
+      s"""WITH ${chunkSql("documents", 7)},
+         |ck AS (SELECT doc_id, string_agg(par, chr(10) ORDER BY pos) AS ctext FROM chunks GROUP BY doc_id),
+         |t AS (SELECT d.doc_id, CASE
+         |    WHEN d.doc_id % 17 = 0 THEN '- alpha beta' || chr(10) || '- gamma delta' || chr(10) || '- epsilon zeta' || chr(10) || '- eta theta' || chr(10) || '- iota kappa'
+         |    WHEN d.doc_id % 13 = 1 THEN 'we have the words to be sure...' || chr(10) || 'and that is of course more...' || chr(10) || 'with more to come...'
+         |    WHEN d.doc_id % 11 = 2 THEN coalesce(ck.ctext, '') || ' # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # # #'
+         |    ELSE coalesce(ck.ctext, '') END AS text
+         |  FROM documents d LEFT JOIN ck USING (doc_id)),
+         |w AS (SELECT doc_id, text,
+         |  list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '') AS ws,
+         |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls FROM t),
+         |m AS (SELECT doc_id, len(ws) AS n_words, len(ls) AS n_lines,
+         |  coalesce(list_aggregate(list_transform(ws, x -> length(x)), 'sum'), 0) AS sum_len,
+         |  length(text) - length(replace(text, '#', '')) AS hashes,
+         |  (length(text) - length(replace(text, '...', ''))) // 3
+         |    + (length(text) - length(replace(text, '…', ''))) AS ells,
+         |  len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS bullets,
+         |  len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS ell_lines,
+         |  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+         |  len(list_distinct(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with')))) AS stops
+         |  FROM w),
+         |r AS (SELECT doc_id, n_words, n_lines,
+         |  list_filter([
+         |    CASE WHEN NOT (alpha * 5 >= n_words * 4) THEN 'alpha_words' END,
+         |    CASE WHEN NOT (bullets * 10 <= n_lines * 9) THEN 'bullet_lines' END,
+         |    CASE WHEN NOT (ell_lines * 10 <= n_lines * 3) THEN 'ellipsis_lines' END,
+         |    CASE WHEN NOT (sum_len >= n_words * 3 AND sum_len <= n_words * 10) THEN 'mean_word_len' END,
+         |    CASE WHEN NOT (stops >= 2) THEN 'stopwords' END,
+         |    CASE WHEN NOT ((hashes + ells) * 10 <= n_words) THEN 'symbol_ratio' END,
+         |    CASE WHEN NOT (n_words >= 50 AND n_words <= 100000) THEN 'word_count' END
+         |  ], x -> x IS NOT NULL) AS fr FROM m)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(CASE WHEN len(fr) = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass,
+         |  array_to_string(fr, ',') AS fail_reasons
+         |FROM r""".stripMargin,
 
     "q_exact_dup_pairs" ->
       s"""WITH $dupDocsSql,

@@ -82,6 +82,66 @@ object TextStats {
         .as("distinct_permille"))
   }
 
+  /** Stopwords the Gopher quality gate requires ≥2 distinct hits of
+    * (Rae et al. 2021, MassiveText filtering — public paper). */
+  val gateStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style composite document quality gate (MassiveText rules,
+    * Rae et al. 2021 §A.1.1 — public paper; original Spark formulation).
+    * Emits per-doc counters, a pass bit, and the sorted comma-joined
+    * tags of every failed rule, so a cleaning pass can both filter and
+    * attribute its losses. Rules:
+    *   word_count     — `minWords ≤ n_words ≤ maxWords`
+    *   mean_word_len  — mean word length in [3, 10] chars
+    *   symbol_ratio   — (# + "...") occurrences ≤ 0.1 × words
+    *   bullet_lines   — ≤ 90% of lines start with a bullet
+    *   ellipsis_lines — ≤ 30% of lines end with "..."/"…"
+    *   alpha_words    — ≥ 80% of words contain an alphabetic char
+    *                    ([A-Za-z]; ASCII-corpus contract, like the
+    *                    whitespace tokenizer above)
+    *   stopwords      — ≥ 2 distinct `gateStopwords` hits
+    * All ratio comparisons are integer cross-multiplications (e.g.
+    * `10·symbols ≤ words`), never floats, so the DuckDB oracle replays
+    * them exactly. Lines are ASCII-space-trimmed (Spark/DuckDB `trim`
+    * semantics — tabs do NOT blank a line). Per-row HOFs only — no
+    * shuffle, no UDF, stays inside whole-stage codegen. */
+  def qualityGate(docs: DataFrame, textCol: String = "text",
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(translate(t, "\n", " "), " "), w => w =!= lit(""))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= lit(""))
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumWordLen = aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+    val hashCount = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ellipsisCount = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+      + (length(t) - length(regexp_replace(t, "…", "")))).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_distinct(filter(words,
+      w => w.isin(gateStopwords.map(lit): _*)))).cast("long")
+
+    // (tag, pass) in tag-sorted order so fail_reasons needs no re-sort
+    val rules: Seq[(String, Column)] = Seq(
+      "alpha_words" -> (alphaWords * 5 >= nWords * 4),
+      "bullet_lines" -> (bulletLines * 10 <= nLines * 9),
+      "ellipsis_lines" -> (ellipsisLines * 10 <= nLines * 3),
+      "mean_word_len" -> (sumWordLen >= nWords * 3 && sumWordLen <= nWords * 10),
+      "stopwords" -> (stopHits >= 2),
+      "symbol_ratio" -> ((hashCount + ellipsisCount) * 10 <= nWords),
+      "word_count" -> (nWords >= minWords && nWords <= maxWords))
+    val failed = filter(
+      array(rules.map { case (tag, ok) => when(!ok, lit(tag)) }: _*),
+      x => x.isNotNull)
+    docs.select(col("doc_id"), nWords.as("n_words"), nLines.as("n_lines"),
+      when(size(failed) === 0, 1L).otherwise(0L).as("pass"),
+      array_join(failed, ",").as("fail_reasons"))
+  }
+
   /** Language-ID: argmax of marker-hit counts, ties broken by language
     * code order, fallback "und" when no marker hits. */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** URL canonicalization contract (hand-specified expected outputs) and
+  * URL-level dedup semantics. */
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("url").select(UrlOps.canonicalize(col("url"))).head().getString(0)
+
+  test("canonicalize: case, default ports, fragments, trailing slash") {
+    assert(canon("https://Site3.Example.COM/p/1/") == "https://site3.example.com/p/1")
+    assert(canon("HTTP://site0.example.com:80/p/2") == "http://site0.example.com/p/2")
+    assert(canon("https://site1.example.com:443/p/3#section-2") == "https://site1.example.com/p/3")
+    assert(canon("https://h.com/a///") == "https://h.com/a")
+    // root path: trailing slash stripped to the bare authority
+    assert(canon("https://h.com/") == "https://h.com")
+  }
+
+  test("canonicalize: non-default ports and other schemes keep their port") {
+    assert(canon("https://h.com:8080/x") == "https://h.com:8080/x")
+    assert(canon("http://h.com:443/x") == "http://h.com:443/x") // :443 is not http's default
+    assert(canon("ftp://H.com:80/x") == "ftp://h.com:80/x")
+  }
+
+  test("canonicalize: tracking params dropped, the rest sorted; bare params too") {
+    assert(canon("http://h.com/p?utm_source=feed&b=2&a=1") == "http://h.com/p?a=1&b=2")
+    assert(canon("http://h.com/p?a=1&utm_campaign=x&fbclid=abc&z=9") == "http://h.com/p?a=1&z=9")
+    assert(canon("http://h.com/p?fbclid&gclid=1") == "http://h.com/p")
+    // all params tracking -> no '?' at all
+    assert(canon("http://h.com/p?utm_medium=email") == "http://h.com/p")
+    // 'ref' is dropped but 'referrer'/'refresh' are NOT (anchored match)
+    assert(canon("http://h.com/p?referrer=x&ref=y") == "http://h.com/p?referrer=x")
+  }
+
+  test("canonicalize: non-URL strings pass through unchanged") {
+    assert(canon("not a url 17") == "not a url 17")
+    assert(canon("/relative/path?utm_source=x") == "/relative/path?utm_source=x")
+  }
+
+  test("host: lowercased, port stripped, empty for non-URLs") {
+    val got = Seq("https://Site3.Example.COM:8443/p/1", "http://a.b/x", "junk")
+      .toDF("url").select(UrlOps.host(col("url"))).as[String].collect().toSeq
+    assert(got == Seq("site3.example.com", "a.b", ""))
+  }
+
+  test("urlDedup: spelling variants collapse; kept id is the min; counts exact") {
+    val docs = Seq(
+      (10L, "https://A.com/x/"),
+      (11L, "HTTPS://a.com:443/x"),
+      (12L, "https://a.com/x?utm_source=f#frag"),
+      (20L, "https://b.com/y"),
+      (21L, "https://b.com/y?page=2") // different real param: NOT a dup
+    ).toDF("doc_id", "url")
+    val got = UrlOps.urlDedup(docs).as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("https://a.com/x", 10L, 3L),
+      ("https://b.com/y", 20L, 1L),
+      ("https://b.com/y?page=2", 21L, 1L)))
+  }
+}
