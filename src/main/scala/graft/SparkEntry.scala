@@ -333,6 +333,28 @@ object SparkEntry {
       graft.ops.UrlOps.domainCounts(docs(s, dir).select(col("doc_id"), messyUrl.as("url")))
         .select(col("host"), col("n_docs").cast("long").as("n_docs"))),
 
+    // Per-domain sampling cap (keep ≤3 docs per host, ascending doc_id)
+    // over the same messy-URL decoration; the oracle replays the cap as
+    // a row_number window.
+    "q_domain_cap" -> ((s, dir) =>
+      graft.ops.UrlOps.domainCap(
+          docs(s, dir).select(col("doc_id"), messyUrl.as("url")), 3)
+        .select(col("doc_id"), graft.ops.UrlOps.host(col("url")).as("host"))),
+
+    // Gopher n-gram repetition stats over deterministically decorated
+    // text: %3==0 docs get a 6-token phrase repeated 3×, %3==1 docs a
+    // heavy "x y" 2-gram run, rest plain; the oracle recomputes via
+    // unnest + group-by (a structurally different formulation than the
+    // sorted-array fold).
+    "q_ngram_repetition" -> ((s, dir) => {
+      val deco = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" the cat sat on the mat the cat sat on the mat the cat sat on the mat"))
+        .when(col("doc_id") % 3 === 1, lit(" x y x y x y x y"))
+        .otherwise(lit("")))
+      TextStats.ngramRepetition(docs(s, dir).withColumn("text", deco))
+    }),
+
     // ---- Gopher-style composite quality gate (MassiveText rules) over
     // deterministically decorated multi-line docs: %17 pure-bullet short
     // docs, %13 ellipsis-line docs, %11 symbol-flooded docs, rest plain
@@ -1143,6 +1165,45 @@ object SparkEntry {
         |  ELSE 'site' || (doc_id % 7) || '.example.com' END AS host,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH u AS (SELECT doc_id, CASE WHEN doc_id % 6 = 5 THEN ''
+        |    ELSE 'site' || (doc_id % 7) || '.example.com' END AS host FROM documents),
+        |r AS (SELECT doc_id, host,
+        |  row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk FROM u)
+        |SELECT doc_id, host FROM r WHERE rk <= 3""".stripMargin,
+
+    // independent formulation: per-occurrence unnest + group-by counts
+    // (vs the Spark side's single sorted-array fold)
+    "q_ngram_repetition" ->
+      """WITH b AS (SELECT doc_id, text || CASE doc_id % 3
+        |    WHEN 0 THEN ' the cat sat on the mat the cat sat on the mat the cat sat on the mat'
+        |    WHEN 1 THEN ' x y x y x y x y' ELSE '' END AS text FROM documents),
+        |tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM b),
+        |g2 AS (SELECT doc_id, array_to_string(ts[i+1:i+2], ' ') AS gram
+        |  FROM tk, UNNEST(generate_series(0, len(ts)-2)) AS s(i) WHERE len(ts) >= 2),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS lg FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, sum(cnt*lg) AS tot,
+        |  sum(CASE WHEN cnt >= 2 THEN cnt*lg ELSE 0 END) AS dup FROM c2 GROUP BY 1),
+        |t2 AS (SELECT doc_id, cnt*lg AS best FROM (SELECT doc_id, cnt, lg,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rk FROM c2)
+        |  WHERE rk = 1),
+        |g5 AS (SELECT doc_id, array_to_string(ts[i+1:i+5], ' ') AS gram
+        |  FROM tk, UNNEST(generate_series(0, len(ts)-5)) AS s(i) WHERE len(ts) >= 5),
+        |c5 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS lg FROM g5 GROUP BY 1, 2),
+        |a5 AS (SELECT doc_id, sum(cnt*lg) AS tot,
+        |  sum(CASE WHEN cnt >= 2 THEN cnt*lg ELSE 0 END) AS dup FROM c5 GROUP BY 1),
+        |t5 AS (SELECT doc_id, cnt*lg AS best FROM (SELECT doc_id, cnt, lg,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rk FROM c5)
+        |  WHERE rk = 1)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN coalesce(a2.tot,0) > 0 THEN floor(1000.0 * t2.best / a2.tot) ELSE 0 END AS BIGINT) AS top2_permille,
+        |  CAST(CASE WHEN coalesce(a2.tot,0) > 0 THEN floor(1000.0 * a2.dup / a2.tot) ELSE 0 END AS BIGINT) AS dup2_permille,
+        |  CAST(CASE WHEN coalesce(a5.tot,0) > 0 THEN floor(1000.0 * t5.best / a5.tot) ELSE 0 END AS BIGINT) AS top5_permille,
+        |  CAST(CASE WHEN coalesce(a5.tot,0) > 0 THEN floor(1000.0 * a5.dup / a5.tot) ELSE 0 END AS BIGINT) AS dup5_permille
+        |FROM documents d
+        |LEFT JOIN a2 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+        |LEFT JOIN a5 USING (doc_id) LEFT JOIN t5 USING (doc_id)""".stripMargin,
 
     "q_quality_gate" ->
       s"""WITH ${chunkSql("documents", 7)},

@@ -177,6 +177,77 @@ object TextStats {
         (acc, x) => acc.bitwiseXOR(x)).as("shingle_sketch"))
   }
 
+  /** Gopher/MassiveText n-gram repetition statistics (Rae et al. 2021
+    * §A.1.1 — public paper; original Spark formulation). For each n in
+    * `ns`, over the whitespace token stream of a document:
+    *   top{n}_permille — characters covered by occurrences of the single
+    *     MOST FREQUENT n-gram, as a permille of characters covered by all
+    *     n-gram occurrences (Gopher's "fraction of characters in the most
+    *     common n-gram", thresholds 0.20/0.18/0.16 for n=2/3/4). Count
+    *     ties break to the lexicographically smallest gram.
+    *   dup{n}_permille — characters covered by occurrences of n-grams
+    *     that appear ≥2 times, same denominator (Gopher's "fraction of
+    *     characters in duplicate n-grams", thresholds 0.15…0.10 for
+    *     n=5…10).
+    * An n-gram's character length counts its joining spaces (the gram as
+    * a string); a doc with fewer than n tokens reports 0/0 → 0‰. Both
+    * ratios use the repo-standard `floor(1000.0·x/y)` permille so the
+    * DuckDB oracle replays them exactly.
+    *
+    * Scale notes: per-row only — sort the gram array once (O(L log L))
+    * and fold it in ONE `aggregate` pass that run-length-scans equal
+    * neighbours (no per-gram `filter` rescans, which would be O(L²) on
+    * long documents). No shuffle, no UDF; stays in whole-stage codegen. */
+  def ngramRepetition(docs: DataFrame, textCol: String = "text",
+                      ns: Seq[Int] = Seq(2, 5)): DataFrame = {
+    val toks = filter(tokensCol(col(textCol)), t => t =!= lit(""))
+    val statCols = ns.flatMap { n =>
+      // sequence(0, k) counts DOWN when k<0 — short docs need the guard
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      // one-pass run-length fold over the sorted gram array:
+      // (prev gram, current run, Σ occurrence chars, Σ duplicate-run
+      //  chars, best run count, best run chars)
+      val init = struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("totc"), lit(0L).as("dupc"),
+        lit(0L).as("bestn"), lit(0L).as("bestc"))
+      def flushed(acc: Column): (Column, Column, Column) = {
+        val runChars = acc("run") * length(acc("prev"))
+        val dupc = when(acc("run") >= 2, acc("dupc") + runChars)
+          .otherwise(acc("dupc"))
+        // strict > keeps the FIRST (lexicographically smallest) gram on
+        // count ties — the sorted order makes this deterministic
+        val better = acc("run") > acc("bestn")
+        (dupc, when(better, acc("run")).otherwise(acc("bestn")),
+          when(better, runChars).otherwise(acc("bestc")))
+      }
+      val folded = aggregate(
+        array_sort(grams), init,
+        (acc, g) => {
+          val same = g === acc("prev")
+          val (dupc, bestn, bestc) = flushed(acc)
+          struct(g.as("prev"),
+            when(same, acc("run") + 1).otherwise(lit(1L)).as("run"),
+            (acc("totc") + length(g)).as("totc"),
+            when(same, acc("dupc")).otherwise(dupc).as("dupc"),
+            when(same, acc("bestn")).otherwise(bestn).as("bestn"),
+            when(same, acc("bestc")).otherwise(bestc).as("bestc"))
+        },
+        acc => {
+          val (dupc, _, bestc) = flushed(acc) // flush the final run
+          struct(acc("totc").as("totc"), dupc.as("dupc"), bestc.as("bestc"))
+        })
+      def permille(x: Column): Column =
+        when(folded("totc") > 0, floor(lit(1000.0) * x / folded("totc")))
+          .otherwise(lit(0)).cast("long")
+      Seq(permille(folded("bestc")).as(s"top${n}_permille"),
+        permille(folded("dupc")).as(s"dup${n}_permille"))
+    }
+    docs.select(col("doc_id") +: statCols: _*)
+  }
+
   /** `countValues` analog: token frequency across the corpus, descending. */
   def vocabCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("token"))

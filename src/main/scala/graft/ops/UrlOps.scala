@@ -83,4 +83,27 @@ object UrlOps {
   def domainCounts(docs: DataFrame, urlCol: String = "url"): DataFrame =
     docs.groupBy(host(col(urlCol)).as("host"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-domain sampling cap: keep at most `maxPerHost` documents per
+    * host, deterministically — the standard guard against one portal
+    * dominating a training mix (C4/RefinedWeb-style domain balancing).
+    * `orderCol` picks WHICH rows survive (default: ascending id, fully
+    * oracle-replayable; pass a hash column, e.g. `xxhash64(col("url"))`,
+    * for an unbiased sample).
+    *
+    * Scale notes: the `row_number ≤ k` filter is recognized by Spark's
+    * WindowGroupLimit rule, which inserts a per-PARTITION top-k BEFORE
+    * the shuffle — a mega-host (10^8 pages) ships only k·(input
+    * partitions touching it) rows to the reduce side, never its full
+    * page set, so hot domains cannot skew the exchange. */
+  def domainCap(docs: DataFrame, maxPerHost: Int, urlCol: String = "url",
+                idCol: String = "doc_id",
+                orderCol: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(host(col(urlCol)).as("host"))
+      .orderBy(orderCol.getOrElse(col(idCol)), col(idCol))
+    docs.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= maxPerHost)
+      .drop("_rk")
+  }
 }

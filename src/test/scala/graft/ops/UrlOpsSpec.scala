@@ -49,6 +49,18 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got == Seq("site3.example.com", "a.b", ""))
   }
 
+  test("domainCap: keeps the k smallest ids per host; plan uses WindowGroupLimit") {
+    val docs = (1L to 20L).map(i => (i, s"https://h${i % 2}.com/p/$i")).toDF("doc_id", "url")
+    val capped = UrlOps.domainCap(docs, 3)
+    val got = capped.select("doc_id").as[Long].collect().toSet
+    // host h1: odd ids 1,3,5…; host h0: even ids 2,4,6…
+    assert(got == Set(1L, 3L, 5L, 2L, 4L, 6L))
+    // the rank≤k filter must push a per-partition top-k below the shuffle
+    // (WindowGroupLimit) so a hot host never ships its full page set
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("urlDedup: spelling variants collapse; kept id is the min; counts exact") {
     val docs = Seq(
       (10L, "https://A.com/x/"),
