@@ -95,6 +95,19 @@ object SparkEntry {
         lit("?utm_source=feed#x")))
   }
 
+  /** Deterministic PII-bearing sentences (5 variants by doc_id % 5:
+    * two e-mails, two IPv4s, two phone spellings, one of each, none) for
+    * exercising PiiOps; the oracle hand-specifies the expected counts
+    * and redacted text per variant — no regex replay in DuckDB. */
+  private def piiText: Column = {
+    val m = col("doc_id") % 5
+    when(m === 0, lit("Contact alice@example.com or bob.smith+tag@mail.example.org for details"))
+      .when(m === 1, lit("Gateway 192.168.1.10 and dns 8.8.8.8 responded"))
+      .when(m === 2, lit("Call +44 20-7946-0958 or (555) 123-4567 today"))
+      .when(m === 3, lit("Write a@b.co from 10.0.0.1 or dial 555-987-6543 now"))
+      .otherwise(lit("No identifiers in this sentence at all"))
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -374,6 +387,15 @@ object SparkEntry {
         .otherwise(chunkedText(7, "\n"))
       TextStats.qualityGate(docs(s, dir).withColumn("text", deco))
     }),
+
+    // ---- PII detection + redaction (Dolma/FineWeb-style regex tier)
+    // over deterministic PII-bearing sentences (see piiText); the
+    // oracles hand-specify counts and redacted text per variant.
+    "q_pii_stats" -> ((s, dir) =>
+      graft.ops.PiiOps.piiStats(docs(s, dir).select(col("doc_id"), piiText.as("text")))),
+
+    "q_pii_redact" -> ((s, dir) =>
+      graft.ops.PiiOps.redactDocs(docs(s, dir).select(col("doc_id"), piiText.as("text")))),
 
     // -------------------------------------- dedup channels (SURVEY §2.4, §7.0)
     "q_exact_dup_pairs" -> ((s, dir) => {
@@ -1241,6 +1263,25 @@ object SparkEntry {
          |  CAST(CASE WHEN len(fr) = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass,
          |  array_to_string(fr, ',') AS fail_reasons
          |FROM r""".stripMargin,
+
+    // The PII oracles hand-specify expected counts / redacted text per
+    // input variant — an implementation-independent statement of the
+    // regex-tier contract (no regex replay in DuckDB).
+    "q_pii_stats" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 2 WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS n_emails,
+        |  CAST(CASE doc_id % 5 WHEN 1 THEN 2 WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS n_ips,
+        |  CAST(CASE doc_id % 5 WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS n_phones
+        |FROM documents""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT doc_id, CASE doc_id % 5
+        |  WHEN 0 THEN 'Contact <EMAIL> or <EMAIL> for details'
+        |  WHEN 1 THEN 'Gateway <IP> and dns <IP> responded'
+        |  WHEN 2 THEN 'Call <PHONE> or <PHONE> today'
+        |  WHEN 3 THEN 'Write <EMAIL> from <IP> or dial <PHONE> now'
+        |  ELSE 'No identifiers in this sentence at all' END AS redacted
+        |FROM documents""".stripMargin,
 
     "q_exact_dup_pairs" ->
       s"""WITH $dupDocsSql,
