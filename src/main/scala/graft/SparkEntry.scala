@@ -397,6 +397,18 @@ object SparkEntry {
     "q_pii_redact" -> ((s, dir) =>
       graft.ops.PiiOps.redactDocs(docs(s, dir).select(col("doc_id"), piiText.as("text")))),
 
+    // ---- eval-set decontamination (GPT-3-style n-gram collision): the
+    // "eval set" is synthesized deterministically from the same corpus —
+    // 400-char mid-document snippets of every doc_id % 8 == 3 — so those
+    // docs (and any doc sharing ≥1 8-gram with a snippet) must flag.
+    // Two independent docs() reads: see Decontaminate.overlap's
+    // self-join caveat.
+    "q_decontaminate" -> ((s, dir) => {
+      val evalTexts = docs(s, dir).where(col("doc_id") % 8 === 3)
+        .select(substring(col("text"), 101, 400).as("text"))
+      graft.ops.Decontaminate.overlap(docs(s, dir), evalTexts, n = 8, minHits = 1)
+    }),
+
     // -------------------------------------- dedup channels (SURVEY §2.4, §7.0)
     "q_exact_dup_pairs" -> ((s, dir) => {
       val p = DedupStages.pagesFromDocuments(docsWithDups(s, dir))
@@ -1282,6 +1294,24 @@ object SparkEntry {
         |  WHEN 3 THEN 'Write <EMAIL> from <IP> or dial <PHONE> now'
         |  ELSE 'No identifiers in this sentence at all' END AS redacted
         |FROM documents""".stripMargin,
+
+    // Decontamination oracle: replays the identical tokenize → 8-gram →
+    // md5 → distinct-overlap-count pipeline in DuckDB (same single-space
+    // tokenizer, 1-based inclusive list slices == Spark's slice()).
+    "q_decontaminate" ->
+      """WITH ev AS (SELECT substring(text, 101, 400) AS text
+        |            FROM documents WHERE doc_id % 8 = 3),
+        |evt AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM ev),
+        |evg AS (SELECT DISTINCT md5(array_to_string(ts[i:i+7], ' ')) AS g
+        |        FROM evt, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+        |dt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |dg AS (SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS g
+        |       FROM dt, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS eval_ngram_hits
+        |      FROM dg JOIN evg USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(h.eval_ngram_hits, 0) AS eval_ngram_hits,
+        |       COALESCE(h.eval_ngram_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
 
     "q_exact_dup_pairs" ->
       s"""WITH $dupDocsSql,
