@@ -108,6 +108,21 @@ object SparkEntry {
       .otherwise(lit("No identifiers in this sentence at all"))
   }
 
+  /** Deterministic mojibake-bearing sentences (6 variants by doc_id % 6;
+    * unicode-escaped — each literal is the cp1252 rendering of the
+    * target's UTF-8 bytes, with cp1252-undefined bytes as raw C1 chars).
+    * Variants 4 and 5 are the no-touch controls (pure ASCII; genuine
+    * Latin-1). */
+  private def mojiText: Column = {
+    val m = col("doc_id") % 6
+    when(m === 0, lit("Menu: Caf\u00c3\u00a9 du jour d\u00c3\u00a9j\u00c3\u00a0 vu"))
+      .when(m === 1, lit("\u00c3\u00bcber na\u00c3\u00afve fa\u00c3\u00a7ade"))
+      .when(m === 2, lit("it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d fine"))
+      .when(m === 3, lit("a \u00e2\u20ac\u201c b \u00e2\u20ac\u00a6 end"))
+      .when(m === 4, lit("plain ascii stays as is"))
+      .otherwise(lit("already caf\u00e9 correct"))
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -408,6 +423,35 @@ object SparkEntry {
         .select(substring(col("text"), 101, 400).as("text"))
       graft.ops.Decontaminate.overlap(docs(s, dir), evalTexts, n = 8, minHits = 1)
     }),
+
+    // ---- WET-style text extraction from the html:binary payload
+    // (input_hint fidelity: real ingest derives `text` from `html`).
+    // Deterministic markup variants wrap the known text so the oracle
+    // can state the expected extraction as a text expression, fully
+    // independent of the regex mechanics.
+    "q_html_extract" -> ((s, dir) => {
+      val t = col("text")
+      val m = col("doc_id") % 4
+      val html = when(m === 0, concat(lit("<html><body><p>"), t, lit("</p></body></html>")))
+        .when(m === 1, concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 &lt; 2;</script></head><body>"),
+          t, lit(" A &amp; B</body></html>")))
+        .when(m === 2, concat(lit("<html><body><div class=\"c\">"), t,
+          lit("</div><style>p { color: red }</style></body></html>")))
+        .otherwise(concat(lit("<HTML><BODY>"), t, lit("&nbsp;end&#39;s</BODY></HTML>")))
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.HtmlOps.extractText(html.cast("binary")).as("extracted"))
+    }),
+
+    // ---- mojibake repair (ftfy-core as translate + shape gate +
+    // encode/decode roundtrip, pure builtins) over deterministic
+    // double-encoded sentences (see mojiText); the oracle hand-specifies
+    // the repaired text per variant.
+    "q_mojibake" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        graft.ops.EncodingRepair.fixMojibake(mojiText).as("fixed"),
+        graft.ops.EncodingRepair.isMojibake(mojiText).as("was_mojibake"))),
 
     // -------------------------------------- dedup channels (SURVEY §2.4, §7.0)
     "q_exact_dup_pairs" -> ((s, dir) => {
@@ -1293,6 +1337,31 @@ object SparkEntry {
         |  WHEN 2 THEN 'Call <PHONE> or <PHONE> today'
         |  WHEN 3 THEN 'Write <EMAIL> from <IP> or dial <PHONE> now'
         |  ELSE 'No identifiers in this sentence at all' END AS redacted
+        |FROM documents""".stripMargin,
+
+    // HTML-extraction oracle: expected text per markup variant, stated
+    // as text expressions (corpus text is single-line and single-spaced,
+    // so wrap/strip/collapse reduces to simple concatenation).
+    "q_html_extract" ->
+      """SELECT doc_id, CASE doc_id % 4
+        |  WHEN 0 THEN text
+        |  WHEN 1 THEN text || ' A & B'
+        |  WHEN 2 THEN text
+        |  ELSE text || ' end''s' END AS extracted
+        |FROM documents""".stripMargin,
+
+    // Mojibake oracle: hand-specified repaired text per input variant
+    // (implementation-independent statement of the repair contract;
+    // expected literals are unicode-escaped in source).
+    "q_mojibake" ->
+      """SELECT doc_id, CASE doc_id % 6
+        |  WHEN 0 THEN 'Menu: Caf\u00e9 du jour d\u00e9j\u00e0 vu'
+        |  WHEN 1 THEN '\u00fcber na\u00efve fa\u00e7ade'
+        |  WHEN 2 THEN 'it\u2019s \u201cquoted\u201d fine'
+        |  WHEN 3 THEN 'a \u2013 b \u2026 end'
+        |  WHEN 4 THEN 'plain ascii stays as is'
+        |  ELSE 'already caf\u00e9 correct' END AS fixed,
+        |doc_id % 6 IN (0, 1, 2, 3) AS was_mojibake
         |FROM documents""".stripMargin,
 
     // Decontamination oracle: replays the identical tokenize → 8-gram →

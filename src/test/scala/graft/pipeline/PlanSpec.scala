@@ -74,6 +74,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontamination probes eval grams via broadcast, never a shuffled or looped join") {
+    import spark.implicits._
+    val evalTexts = Seq("some benchmark snippet words here repeated enough times to window")
+      .toDF("text")
+    val corpus = parquetPages.selectExpr("url AS doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.ops.Decontaminate.overlap(corpus, evalTexts, n = 4)
+        .queryExecution.executedPlan.toString()
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the corpus-side gram stream must meet the (tiny) eval gram set as
+    // a broadcast probe: no eval-gram shuffle of corpus grams, and
+    // nothing degenerates to a nested-loop/cartesian shape
+    assert(plan.contains("BroadcastHashJoin"), "eval-gram join is not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("exact channel emits a star, not O(m^2) pairs") {
     import spark.implicits._
     // 50 identical docs -> 49 star edges
