@@ -596,7 +596,12 @@ object Bench {
         if (lastRepCost.isNaN) Double.NaN
         else (lastStageCost + lastRepCost) *
           (proto.scaleN.toDouble / protocols.head.scaleN) * 1.1
-      if (proto.label != "spillfree" && !projected.isNaN && projected > remaining) {
+      // NaN projection (spillfree banked no complete rep) must NOT read
+      // as "fits": staging a multi-GB corpus into a nearly-spent window
+      // is pure loss — require room for staging + one gated rep (~300 s)
+      // as the unconditional floor
+      if (proto.label != "spillfree" &&
+          (remaining < 300.0 || (!projected.isNaN && projected > remaining))) {
         System.err.println(f"GRAFT_BENCH_HEARTBEAT phase=skip-${proto.label} " +
           f"projected_s=$projected%.0f remaining_s=$remaining%.0f")
       } else {
@@ -648,15 +653,27 @@ object Bench {
                 proto.hiWarm += math.max(0, runsHi.size - 1)
                 if (!r.isNaN) proto.recall = r // planted recall, computed in-child
                 heartbeat(s"${proto.label}-rep$rep-hi")
-                val (tLo, _, runsLo) = spawnLevel(corpusDir, lo,
-                  loChildBudget(remaining), withRecall = false)
-                proto.loRuns += tLo
-                proto.loAllRuns ++= runsLo
-                proto.loWarm += math.max(0, runsLo.size - 1)
-                lastRepCost = (System.nanoTime() - tRep) / 1e9
-                heartbeat(s"${proto.label}-rep$rep-lo")
-                emitScaling()
-                rep += 1
+                // per-LEG deadline gate (the rep-level 180 s check was
+                // taken before the hi leg spent its share): a child
+                // spawned with remaining < reap + minimum-useful-budget
+                // is GUARANTEED to overshoot the window for a leg that
+                // cannot even fit a cold run — stop instead and keep the
+                // already-banked hi wall
+                if (remaining < ChildReapS + 60.0) {
+                  System.err.println(f"GRAFT_BENCH_HEARTBEAT phase=budget-stop-${proto.label}-lo " +
+                    f"rep=$rep remaining_s=$remaining%.0f")
+                  cont = false
+                } else {
+                  val (tLo, _, runsLo) = spawnLevel(corpusDir, lo,
+                    loChildBudget(remaining), withRecall = false)
+                  proto.loRuns += tLo
+                  proto.loAllRuns ++= runsLo
+                  proto.loWarm += math.max(0, runsLo.size - 1)
+                  lastRepCost = (System.nanoTime() - tRep) / 1e9
+                  heartbeat(s"${proto.label}-rep$rep-lo")
+                  emitScaling()
+                  rep += 1
+                }
               }
             }
             // leftover-budget retry of ONE leg: foreign load only ever
