@@ -424,6 +424,13 @@ object SparkEntry {
       graft.ops.Decontaminate.overlap(docs(s, dir), evalTexts, n = 8, minHits = 1)
     }),
 
+    // ---- sketch-tier corpus summary: exact counts oracle-check
+    // row-for-row; the HLL++ estimate rides as a tolerance-contract bit
+    // (like q_knn_ivf's recall floor) so sketch-path regressions are
+    // visible in the artifact.
+    "q_corpus_stats" -> ((s, dir) =>
+      graft.ops.CorpusStats.summary(docs(s, dir))),
+
     // ---- WET-style text extraction from the html:binary payload
     // (input_hint fidelity: real ingest derives `text` from `html`).
     // Deterministic markup variants wrap the known text so the oracle
@@ -1338,6 +1345,20 @@ object SparkEntry {
         |  WHEN 3 THEN 'Write <EMAIL> from <IP> or dial <PHONE> now'
         |  ELSE 'No identifiers in this sentence at all' END AS redacted
         |FROM documents""".stripMargin,
+
+    // Corpus-summary oracle: exact counts + quantile_cont (the same
+    // (n-1)*p interpolation as Spark's exact percentile), millis-scaled;
+    // the HLL bit is a tolerance contract (sketch error bound + slack).
+    "q_corpus_stats" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_hosts,
+        |  true AS hll_hosts_ok,
+        |  CAST(round(quantile_cont(n_tokens, 0.5) * 1000) AS BIGINT) AS p50_tokens_milli,
+        |  CAST(round(quantile_cont(n_tokens, 0.9) * 1000) AS BIGINT) AS p90_tokens_milli
+        |FROM t""".stripMargin,
 
     // HTML-extraction oracle: expected text per markup variant, stated
     // as text expressions (corpus text is single-line and single-spaced,
