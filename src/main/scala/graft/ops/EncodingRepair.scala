@@ -20,23 +20,19 @@ import org.apache.spark.sql.functions._
   *      through cp1252" into "seen through ISO-8859-1" (which Spark's
   *      encode/decode charset whitelist supports; cp1252 itself is not
   *      on it).
-  *   2. A structural gate: the text repairs ONLY if, read as Latin-1
-  *      bytes, it forms well-formed UTF-8 (full RFC 3629 shape —
-  *      overlongs and surrogates excluded) AND contains at least one
-  *      multi-byte lead. Genuine Latin-1/ASCII text ("café", "a — b")
-  *      and anything with codepoints > U+00FF fail the gate and pass
+  *   2. A structural gate: the text repairs ONLY if every char is
+  *      <= U+00FF (so the Latin-1 encode is total — `encode` would
+  *      raise under Spark 4's default REPORT coding-error action),
+  *      at least one multi-byte UTF-8 lead is present, and the
+  *      re-encoded bytes pass the engine-native `is_valid_utf8`
+  *      (full RFC 3629: overlongs, surrogates, C0/C1 leads, F5+ all
+  *      rejected). Genuine Latin-1/ASCII text ("café", "a — b") and
+  *      anything with codepoints > U+00FF fail the gate and pass
   *      through untouched — the same conservatism ftfy gets from
   *      attempting the roundtrip and keeping it only when it decodes.
-  *      The gate also makes step 3 total: `encode` never sees an
-  *      unmappable char, `decode` never sees malformed bytes (both
-  *      would raise under Spark 4's default REPORT coding-error
-  *      action).
-  *   3. `decode(encode(translated, ISO-8859-1), UTF-8)`.
-  *
-  * The shape regex's alternatives have pairwise-disjoint first
-  * characters (00–7F | C2–DF | E0 | E1–EC,EE,EF | ED | F0 | F1–F3 |
-  * F4), so the anchored scan is backtracking-free in practice; a bare
-  * continuation byte fails every alternative immediately.
+  *   3. the repaired value is `cast(encode(translated, ISO-8859-1) as
+  *      string)` — a zero-copy reinterpretation of the original bytes
+  *      as UTF-8, already proven valid by the gate.
   *
   * Scale notes: per-row, shuffle-free, whole-stage-codegen column
   * expressions — composes into the scan stage like PiiOps. One pass
@@ -63,38 +59,43 @@ object EncodingRepair {
     "\u008b\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
     "\u0098\u0099\u009a\u009b\u009c\u009e\u009f"
 
-  /** Well-formed UTF-8, RFC 3629, expressed over chars 0x00–0xFF
-    * standing for bytes. Anything containing a char > U+00FF matches
-    * no alternative and fails. */
-  val utf8ShapeRe: String =
-    "^(?:[\\x00-\\x7f]" +
-      "|[\\xc2-\\xdf][\\x80-\\xbf]" +
-      "|\\xe0[\\xa0-\\xbf][\\x80-\\xbf]" +
-      "|[\\xe1-\\xec\\xee\\xef][\\x80-\\xbf]{2}" +
-      "|\\xed[\\x80-\\x9f][\\x80-\\xbf]" +
-      "|\\xf0[\\x90-\\xbf][\\x80-\\xbf]{2}" +
-      "|[\\xf1-\\xf3][\\x80-\\xbf]{3}" +
-      "|\\xf4[\\x80-\\x8f][\\x80-\\xbf]{2})*$"
+  /** Every char must be <= U+00FF so the Latin-1 encode is total
+    * (single-char-class loop: Java compiles this to an ITERATIVE Curly
+    * node — a structured per-sequence alternation regex here recursed
+    * once per repetition and threw StackOverflowError at ~50k
+    * sequences, caught by the long-input spec). */
+  private val latin1Re: String = "^[\\x00-\\xff]*$"
 
+  /** At least one multi-byte UTF-8 lead byte present (else the
+    * roundtrip is the identity and the row should not be touched). */
   private val leadRe: String = "[\\xc2-\\xf4]"
 
   private def latin1View(text: Column): Column =
     translate(text, cp1252Printables, c1Controls)
 
+  /** The wrongly-decoded text's original bytes, reinterpreted as UTF-8:
+    * encode is total under the latin1Re guard, and cast(binary as
+    * string) wraps the bytes without validation — validity is decided
+    * by the engine-native is_valid_utf8 (full RFC 3629: overlongs,
+    * surrogates, C0/C1 leads, F5+ all rejected), which scans linearly
+    * where a structured validation regex overflowed the stack on long
+    * rows. */
+  private def reinterp(t: Column): Column =
+    encode(t, "ISO-8859-1").cast("string")
+
+  private def gate(t: Column): Column =
+    t.rlike(latin1Re) && t.rlike(leadRe) && is_valid_utf8(reinterp(t))
+
   /** True where the text is repairable mojibake (repair would change
-    * it). */
-  def isMojibake(text: Column): Column = {
-    val t = latin1View(text)
-    t.rlike(leadRe) && t.rlike(utf8ShapeRe)
-  }
+    * it: the gate requires a multi-byte sequence, which always
+    * collapses). */
+  def isMojibake(text: Column): Column = gate(latin1View(text))
 
   /** The text with one layer of UTF-8-as-cp1252/Latin-1 mojibake
     * repaired; non-mojibake text (including genuine Latin-1 and any
     * text with codepoints > U+00FF) is returned unchanged. */
   def fixMojibake(text: Column): Column = {
     val t = latin1View(text)
-    when(t.rlike(leadRe) && t.rlike(utf8ShapeRe),
-      decode(encode(t, "ISO-8859-1"), "UTF-8"))
-      .otherwise(text)
+    when(gate(t), reinterp(t)).otherwise(text)
   }
 }

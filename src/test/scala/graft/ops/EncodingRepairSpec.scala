@@ -73,6 +73,25 @@ class EncodingRepairSpec extends AnyFunSuite {
     assert(fix(once) == "\u00e9")  // second pass completes
   }
 
+  test("long pathological inputs stay linear and correct") {
+    // 50k repaired sequences in one row: the disjoint-first-char
+    // alternation must scan once, not backtrack
+    val big = "Caf\u00c3\u00a9 " * 50000
+    val t0 = System.nanoTime()
+    assert(fix(big.trim) == ("Caf\u00e9 " * 50000).trim)
+    // 50k bare continuation bytes (cp1252 euro -> 0x80): first
+    // alternative check fails immediately at char 0
+    assert(fix("\u20ac" * 50000) == "\u20ac" * 50000)
+    val elapsedS = (System.nanoTime() - t0) / 1e9
+    assert(elapsedS < 30.0, f"regex path took $elapsedS%.1f s on 300k chars")
+  }
+
+  test("lone cp1252-undefined C1 chars are untouched") {
+    // 0x81 / 0x9D alone are continuation bytes with no lead
+    assert(fix("x\u0081y") == "x\u0081y")
+    assert(!flag("x\u009dy"))
+  }
+
   test("isMojibake agrees with fix-would-change") {
     for (s <- Seq("Caf\u00c3\u00a9", "it\u00e2\u20ac\u2122s",
                   "plain", "caf\u00e9", "a \u2014 b", "\u7684",
