@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
  *    `<EMAIL>`.
  *  - IPv4: four 1–3-digit groups joined by dots, word-bounded →
  *    `<IP>`. No octet range check (recall-oriented).
- *  - phone: ≥3 groups of 2–4 digits separated by single spaces or
+ *  - phone: 3–8 groups of 2–4 digits separated by single spaces or
  *    dashes, optionally preceded by `+CC` and/or a parenthesised area
  *    code → `<PHONE>`. Dots are deliberately NOT phone separators so
- *    IPv4s can never double-match.
+ *    IPv4s can never double-match. The 8-group cap (real numbering
+ *    plans top out near 15 digits) is ALSO a safety bound: Java's
+ *    regex engine recurses once per GROUP-quantifier iteration, so
+ *    the previous unbounded `(...)+` tail threw StackOverflowError on
+ *    a ~30k-group digit chain (reproduced; a long table of dash-joined
+ *    numbers is ordinary webtext). A pathological chain now redacts as
+ *    consecutive 8-group phones instead of crashing the task.
  *  - Order: e-mails, then IPs, then phones — each later pattern runs
  *    on the already-redacted text, so a digit-bearing e-mail local
  *    part or an IP can never additionally count/redact as a phone.
@@ -42,7 +48,7 @@ object PiiOps {
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re: String = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
   val phoneRe: String =
-    "(\\+\\d{1,3}[ -])?(\\(\\d{2,4}\\)[ -]?|\\d{2,4}[ -])\\d{2,4}([ -]\\d{2,4})+"
+    "(\\+\\d{1,3}[ -])?(\\(\\d{2,4}\\)[ -]?|\\d{2,4}[ -])\\d{2,4}([ -]\\d{2,4}){1,6}"
 
   /** Text with e-mails, then IPv4s, then phones replaced by
     * `<EMAIL>`/`<IP>`/`<PHONE>` (ordered so digit-bearing e-mails and

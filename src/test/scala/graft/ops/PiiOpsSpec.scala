@@ -32,6 +32,18 @@ class PiiOpsSpec extends AnyFunSuite {
     assert(stats("10.0.0.1") == ((0L, 1L, 0L)))
   }
 
+  test("unbounded digit chains cannot overflow the regex engine") {
+    // Java regex recurses per GROUP-quantifier iteration: the previous
+    // unbounded phone tail threw StackOverflowError here at ~30k groups
+    val chain = "12" + "-34" * 30000
+    val out = red(chain)
+    assert(!out.contains("StackOverflow")) // completing at all is the test
+    assert(out.startsWith("<PHONE>"))      // redacts as consecutive phones
+    assert(!out.exists(_.isLetter) || out.contains("<PHONE>"))
+    // a real long-ish number still redacts as ONE phone (8 groups)
+    assert(red("+49 30-1234-5678-90-12-34-56-78") == "<PHONE>")
+  }
+
   test("pattern edges") {
     // recall-oriented IP: version strings are accepted by design
     assert(stats("lib 1.2.3.4 released") == ((0L, 1L, 0L)))
