@@ -213,6 +213,18 @@ object SparkEntry {
     "q_content_hash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), md5(col("text")).as("content_hash"))),
 
+    // Bloom-pruned incremental dedup: seen = content hashes of the %3==0
+    // docs, incoming = the whole corpus; result is the exact "not seen
+    // before" set (the sketch only prunes the anti-join's input)
+    "q_bloom_new_docs" -> ((s, dir) => {
+      val seen = docs(s, dir).where(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("content_hash"))
+      val incoming = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      graft.ops.BloomDedup.pruneNew(incoming, seen, "content_hash")
+        .select("doc_id", "content_hash")
+    }),
+
     "q_media_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(pages(s, dir))
         .select(col("url"), col("byte_length"), col("magic_hex"))),
@@ -1105,6 +1117,13 @@ object SparkEntry {
 
     "q_content_hash" ->
       "SELECT doc_id, md5(text) AS content_hash FROM documents",
+
+    // Exact anti-join semantics: the Spark side's Bloom filter is a
+    // plan-level prune only, so the oracle is the plain set difference
+    "q_bloom_new_docs" ->
+      """SELECT d.doc_id, md5(d.text) AS content_hash FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents s
+        |  WHERE s.doc_id % 3 = 0 AND md5(s.text) = md5(d.text))""".stripMargin,
 
     "q_media_meta" ->
       s"""SELECT $urlSql AS url,
