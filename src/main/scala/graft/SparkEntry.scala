@@ -213,6 +213,15 @@ object SparkEntry {
     "q_content_hash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), md5(col("text")).as("content_hash"))),
 
+    // Deterministic training-mix materialization: per-language weights,
+    // incl. upsampling (en 1.6 -> copy 2 for a hash-chosen 60%), exact
+    // integer replication (fr 2.0), downsampling (de 0.5, default 0.25)
+    "q_mix_sample" -> ((s, dir) =>
+      graft.ops.MixingOps.weightedMix(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        "lang", Map("en" -> 1.6, "de" -> 0.5, "fr" -> 2.0), defaultWeight = 0.25)
+        .select(col("doc_id"), col("lang"), col("copy"))),
+
     // Bloom-pruned incremental dedup: seen = content hashes of the %3==0
     // docs, incoming = the whole corpus; result is the exact "not seen
     // before" set (the sketch only prunes the anti-join's input)
@@ -1117,6 +1126,21 @@ object SparkEntry {
 
     "q_content_hash" ->
       "SELECT doc_id, md5(text) AS content_hash FROM documents",
+
+    // Mixing replay: same md5-prefix-vs-fixed-width-hex-literal threshold
+    // (lowercase hex compares lexicographically as the number; DuckDB md5
+    // == Spark md5), same per-language floor(w) + frac(w) split
+    "q_mix_sample" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 0 WHEN 'fr' THEN 2 ELSE 0 END AS n_int,
+        |  CASE lang WHEN 'en' THEN '99999999' WHEN 'de' THEN '80000000'
+        |    WHEN 'fr' THEN '00000000' ELSE '40000000' END AS thr
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_int
+        |  + CASE WHEN substr(md5(doc_id::VARCHAR || '#frac'), 1, 8) < thr THEN 1 ELSE 0 END AS copies
+        |  FROM w)
+        |SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
+        |FROM c WHERE copies > 0""".stripMargin,
 
     // Exact anti-join semantics: the Spark side's Bloom filter is a
     // plan-level prune only, so the oracle is the plain set difference
