@@ -213,6 +213,13 @@ object SparkEntry {
     "q_content_hash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), md5(col("text")).as("content_hash"))),
 
+    // GPT-style sequence packing: concat-and-split at a 256-token budget
+    // within 8 independent bucket streams (per-bucket window cumsum — the
+    // scale shape; a global order would be a total sort)
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.ops.PackingOps.packSequences(
+        docs(s, dir).select(col("doc_id"), col("text")), 256, 8)),
+
     // Deterministic training-mix materialization: per-language weights,
     // incl. upsampling (en 1.6 -> copy 2 for a hash-chosen 60%), exact
     // integer replication (fr 2.0), downsampling (de 0.5, default 0.25)
@@ -1126,6 +1133,21 @@ object SparkEntry {
 
     "q_content_hash" ->
       "SELECT doc_id, md5(text) AS content_hash FROM documents",
+
+    // Packing replay: identical per-bucket cumsum window; integer vs
+    // floor(double) division agree at these magnitudes
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end FROM t)
+        |SELECT doc_id, bucket, n_tokens,
+        |  (cum_end - n_tokens) // 256 AS pack_first,
+        |  CASE WHEN n_tokens > 0 THEN (cum_end - 1) // 256
+        |    ELSE (cum_end - n_tokens) // 256 END AS pack_last,
+        |  (cum_end - n_tokens) % 256 AS pack_offset
+        |FROM c""".stripMargin,
 
     // Mixing replay: same md5-prefix-vs-fixed-width-hex-literal threshold
     // (lowercase hex compares lexicographically as the number; DuckDB md5
