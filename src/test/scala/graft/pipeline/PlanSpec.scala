@@ -92,6 +92,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("weighted mix plans zero shuffles (pure map-side projection)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = parquetPages.selectExpr("url AS doc_id", "lang")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try graft.ops.MixingOps.weightedMix(docs, "lang", Map("en" -> 1.6), 0.25)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.isEmpty, s"mixing shuffled: ${exchanges.size} exchanges")
+  }
+
+  test("sequence packing shuffles once, on the bucket key, never the text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = parquetPages.selectExpr("cast(hash(url) as long) AS doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shuffled =
+      try graft.ops.PackingOps.packSequences(docs, 256, 8)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.child.output.map(_.name)
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(shuffled.size == 1, s"expected exactly one exchange, got ${shuffled.size}")
+    assert(!shuffled.head.contains("text"),
+      s"doc text crosses the packing shuffle: ${shuffled.head.mkString(",")}")
+  }
+
+  test("bloom dedup probes map-side and anti-joins only the maybe-seen sliver") {
+    val incoming = parquetPages.selectExpr("url AS k")
+    val seen = parquetPages.limit(50).selectExpr("url AS k")
+    val plan = graft.ops.BloomDedup.pruneNew(incoming, seen, "k")
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("might_contain"), "bloom probe missing from the plan")
+    assert(plan.contains("LeftAnti"), "exact re-check anti-join missing")
+  }
+
   test("exact channel emits a star, not O(m^2) pairs") {
     import spark.implicits._
     // 50 identical docs -> 49 star edges
