@@ -338,6 +338,17 @@ object SparkEntry {
         TextStats.bpeTokenCount(t).cast("long").as("bpe_tokens"))
     }),
 
+    // corpus-frequency rare-token stats: the base corpus is a tiny
+    // repeated vocabulary (q_vocab: ~31 types, no hapax), so 1-in-7 docs
+    // get a deterministic unique token appended to make the rare tier
+    // non-vacuous
+    "q_rare_tokens" -> ((s, dir) => {
+      val t = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" zq"), col("doc_id").cast("string")))
+        .otherwise(col("text"))
+      TextStats.rareTokenStats(docs(s, dir).select(col("doc_id"), t.as("text")))
+    }),
+
     // ---- sub-document dedup / repetition (LLM web-pipeline operators):
     // paragraph-granularity cross-corpus dedup (CCNet-style) and
     // within-doc repetition quality signals (Gopher-style). The corpus
@@ -1249,6 +1260,19 @@ object SparkEntry {
         |len(list_filter(string_split(tt, ' '), x -> x <> '')) AS ws_tokens,
         |len(regexp_extract_all(tt, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS bpe_tokens
         |FROM t""".stripMargin,
+
+    "q_rare_tokens" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' zq' || CAST(doc_id AS VARCHAR) ELSE text END AS text
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM d),
+        |v AS (SELECT tok FROM occ GROUP BY tok HAVING count(*) <= 1),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare FROM occ JOIN v USING (tok) GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM d)
+        |SELECT n.doc_id, n.n_tokens, coalesce(r.n_rare, 0) AS n_rare,
+        |  CAST(CASE WHEN n.n_tokens > 0 THEN coalesce(r.n_rare, 0) * 1000 // n.n_tokens
+        |    ELSE 0 END AS BIGINT) AS rare_permille
+        |FROM n LEFT JOIN r USING (doc_id)""".stripMargin,
 
     "q_para_dup_stats" ->
       s"""WITH $dupDocsSql, ${chunkSql("dd", 15)},

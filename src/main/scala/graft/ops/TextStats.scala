@@ -254,4 +254,39 @@ object TextStats {
       .where(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token"))
+
+  /** Corpus-frequency rare-token stats: per doc, how much of its token
+    * mass is tokens the whole corpus has seen ≤ `rareMaxCount` times —
+    * the cross-document statistical garbage detector (OCR noise, hash
+    * soup, encoding damage score high) that complements the per-doc
+    * heuristic gates; the containerless stand-in for a CCNet-style
+    * perplexity tier (no external LM in this environment, disclosed).
+    *
+    * Integer-exact output (`rare_permille` by cross-multiplication) so
+    * the DuckDB oracle replays it with zero float drift.
+    *
+    * Scale shape: the rare VOCAB is huge in types (Zipf: ~half of all
+    * types are hapax) but each row is one narrow token string — the doc
+    * side joins it with a left-semi on the token key (shuffle carries
+    * (id, token) pairs only for rare hits after the semi-join's runtime
+    * filter; common tokens — the bulk of occurrences — never ride it).
+    * Two token-keyed shuffles + one id-keyed count; nothing is
+    * driver-side, nothing is all-pairs. */
+  def rareTokenStats(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", rareMaxCount: Long = 1): DataFrame = {
+    require(rareMaxCount >= 1, s"rareMaxCount must be >= 1, got $rareMaxCount")
+    val occ = docs.select(col(idCol),
+        explode(filter(tokensCol(col(textCol)), t => t =!= lit(""))).as("tok"))
+    val rareVocab = occ.groupBy("tok").agg(count(lit(1)).as("n"))
+      .where(col("n") <= rareMaxCount).select("tok")
+    val rarePerDoc = occ.join(rareVocab, Seq("tok"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_rare"))
+    docs.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(rarePerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(col("n_tokens") > 0,
+          floor(coalesce(col("n_rare"), lit(0L)) * 1000 / col("n_tokens")))
+          .otherwise(lit(0L)).cast("long").as("rare_permille"))
+  }
 }

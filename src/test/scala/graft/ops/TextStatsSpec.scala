@@ -42,4 +42,25 @@ class TextStatsSpec extends AnyFunSuite {
       assert(bpe >= ws, s"'$t' ws=$ws bpe=$bpe")
     }
   }
+
+  test("rare-token stats: hapax detection, permille, threshold, empty doc") {
+    import spark.implicits._
+    // corpus frequencies: 'a' x4, 'b' x2, 'x'/'y'/'z' x1 each
+    val docs = Seq(
+      (1L, "a a b x"),   // 1 hapax of 4 tokens -> 250 permille
+      (2L, "a b y z"),   // 2 hapax of 4 -> 500
+      (3L, "a a"),       // 0 hapax
+      (4L, "")           // empty: 0 tokens, 0 permille
+    ).toDF("doc_id", "text")
+    val got = TextStats.rareTokenStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 250L)))
+    assert(got(2L) == ((4L, 2L, 500L)))
+    assert(got(3L) == ((2L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+    // raising the threshold to 2 makes 'b' (corpus count 2) rare too
+    val got2 = TextStats.rareTokenStats(docs, rareMaxCount = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2(1L) == 2L && got2(2L) == 3L && got2(3L) == 0L)
+  }
 }
