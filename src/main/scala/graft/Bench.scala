@@ -505,6 +505,22 @@ object Bench {
       val p = DedupStages.signatures(DedupStages.pagesFromDocuments(docsDf), DedupConfig())
       DedupStages.exactCandidates(p).count()
     }
+    // round-5 training-data ops: cheap at sf scale, tracked so a plan
+    // regression (extra shuffle, lost codegen) shows up in the artifact
+    import org.apache.spark.sql.functions.{col, md5}
+    queries("mix_sample") = time(graft.ops.MixingOps.weightedMix(
+      docsDf.select(col("doc_id"), col("lang")), "lang",
+      Map("en" -> 1.6, "de" -> 0.5, "fr" -> 2.0), 0.25).count())
+    queries("pack_sequences") = time(graft.ops.PackingOps.packSequences(
+      docsDf.select(col("doc_id"), col("text")), 256, 8).count())
+    queries("bloom_new_docs") = time {
+      val seen = docsDf.where(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("content_hash"))
+      val incoming = docsDf.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      graft.ops.BloomDedup.pruneNew(incoming, seen, "content_hash").count()
+    }
+    queries("rare_tokens") = time(
+      graft.ops.TextStats.rareTokenStats(docsDf.select(col("doc_id"), col("text"))).count())
     // IVF ANN recall vs exact top-5, UNclamped (the oracle row
     // q_knn_ivf asserts only the >=500 floor; the artifact banks the
     // real number per round so within-band regressions stay visible)
