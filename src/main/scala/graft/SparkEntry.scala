@@ -213,6 +213,15 @@ object SparkEntry {
     "q_content_hash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), md5(col("text")).as("content_hash"))),
 
+    // Deterministic 90/10 train/val holdout: same hash-threshold
+    // machinery as the mix (salt "#split" decorrelates it from any
+    // sampling decision on the same ids); every doc lands in exactly
+    // one split, reproducibly across cluster sizes and reruns
+    "q_holdout_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        when(graft.ops.MixingOps.hashKeep(col("doc_id"), 0.9, "#split"), lit("train"))
+          .otherwise(lit("val")).as("split"))),
+
     // GPT-style sequence packing: concat-and-split at a 256-token budget
     // within 8 independent bucket streams (per-bucket window cumsum — the
     // scale shape; a global order would be a total sort)
@@ -1144,6 +1153,11 @@ object SparkEntry {
 
     "q_content_hash" ->
       "SELECT doc_id, md5(text) AS content_hash FROM documents",
+
+    // Holdout replay: thresholdHex(0.9) = e6666666
+    "q_holdout_split" ->
+      """SELECT doc_id, CASE WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'e6666666'
+        |  THEN 'train' ELSE 'val' END AS split FROM documents""".stripMargin,
 
     // Packing replay: identical per-bucket cumsum window; integer vs
     // floor(double) division agree at these magnitudes
