@@ -451,6 +451,29 @@ object SparkEntry {
       TextStats.qualityGate(docs(s, dir).withColumn("text", deco))
     }),
 
+    // ---- C4-style line filter (Raffel et al. 2020 §2.2) over
+    // deterministically decorated multi-line docs: every rule gets a
+    // covering variant (short line, no-terminal line, %5 javascript
+    // line, %7 lorem-ipsum page, %11 brace page, %13 too-few-kept page);
+    // the oracle replays the same line rules in DuckDB.
+    "q_c4_lines" -> ((s, dir) => {
+      val firstSix = concat(array_join(
+        slice(filter(split(col("text"), " "), w => w =!= lit("")), 1, 6), " "), lit("."))
+      val deco = when(col("doc_id") % 13 === 4,
+          lit("One short line.\nAnd nothing else here"))
+        .otherwise(concat_ws("\n",
+          firstSix,
+          lit("tiny line."),
+          lit("this line has no terminal punctuation mark"),
+          when(col("doc_id") % 5 === 0, lit("Please enable javascript to continue viewing."))
+            .otherwise(lit("A perfectly ordinary sentence with six words.")),
+          when(col("doc_id") % 7 === 3, lit("Lorem ipsum dolor sit amet consectetur adipiscing."))
+            .otherwise(lit("Closing remarks end the document properly.")),
+          when(col("doc_id") % 11 === 5, lit("var config = { key: value };"))
+            .otherwise(lit("Reliable content continues in this line."))))
+      graft.ops.C4Filter.c4LineFilter(docs(s, dir).withColumn("text", deco))
+    }),
+
     // ---- PII detection + redaction (Dolma/FineWeb-style regex tier)
     // over deterministic PII-bearing sentences (see piiText); the
     // oracles hand-specify counts and redacted text per variant.
@@ -1429,6 +1452,28 @@ object SparkEntry {
          |  CAST(CASE WHEN len(fr) = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass,
          |  array_to_string(fr, ',') AS fail_reasons
          |FROM r""".stripMargin,
+
+    "q_c4_lines" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN doc_id % 13 = 4
+        |    THEN 'One short line.' || chr(10) || 'And nothing else here'
+        |    ELSE array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:6], ' ') || '.'
+        |      || chr(10) || 'tiny line.'
+        |      || chr(10) || 'this line has no terminal punctuation mark'
+        |      || chr(10) || CASE WHEN doc_id % 5 = 0 THEN 'Please enable javascript to continue viewing.' ELSE 'A perfectly ordinary sentence with six words.' END
+        |      || chr(10) || CASE WHEN doc_id % 7 = 3 THEN 'Lorem ipsum dolor sit amet consectetur adipiscing.' ELSE 'Closing remarks end the document properly.' END
+        |      || chr(10) || CASE WHEN doc_id % 11 = 5 THEN 'var config = { key: value };' ELSE 'Reliable content continues in this line.' END
+        |    END AS text FROM documents),
+        |w AS (SELECT doc_id, text,
+        |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls FROM t),
+        |k AS (SELECT doc_id, text, ls, list_filter(ls, l ->
+        |    (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+        |    AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS ks FROM w)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+        |    AND len(ks) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS pass,
+        |  coalesce(array_to_string(ks, chr(10)), '') AS cleaned
+        |FROM k""".stripMargin,
 
     // The PII oracles hand-specify expected counts / redacted text per
     // input variant — an implementation-independent statement of the

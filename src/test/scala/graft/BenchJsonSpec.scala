@@ -45,6 +45,21 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(n.get("wall_runs_n").size() == 2 && n.get("wall_runs_4n").size() == 3)
   }
 
+  test("super-unity ratio with both legs steady: self-flagged as contention") {
+    // dress 16 shape: hi leg clean (42.7 s best) but both lo runs landed in
+    // a loaded stretch (227+ s vs the 139-171 s norm) -> ratio 1.33, which
+    // cannot be true scaling on identical hardware
+    val p = proto(Seq(227.3, 242.5), Seq(42.7, 46.6),
+      Seq(227.3, 242.5), Seq(82.3, 64.8, 52.8, 42.7, 46.6))
+    val n = parse(p.json).get("spillfree")
+    assert(n.get("steady_n").asBoolean() && n.get("steady_4n").asBoolean())
+    assert(n.get("efficiency").asDouble() > 1.05)
+    assert(n.get("efficiency_confound").asText().contains("super-unity"))
+    // a clean reading just under the bound stays unflagged
+    val q = proto(Seq(168.7), Seq(42.0), Seq(279.3, 168.7), Seq(73.9, 42.0))
+    assert(parse(q.json).get("spillfree").get("efficiency_confound") == null)
+  }
+
   test("lo cold-only: valid JSON, biased-HIGH confound present") {
     val p = proto(Seq(453.2), Seq(51.7), Seq(453.2), Seq(51.7, 74.9))
     val n = parse(p.json).get("spillfree")
