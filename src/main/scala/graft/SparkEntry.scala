@@ -127,6 +127,20 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+  /** Dup-bearing embedding variant (the harness embeddings have no
+    * near-duplicates): every 50th vector re-keyed +100000 verbatim and
+    * every 70th re-keyed +200000 scaled ×1.5 (cosine-invariant) —
+    * expressible identically in DuckDB SQL. Fresh read per call so each
+    * consumer derivation owns its file-source plan. */
+  private def embWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select("vec_id", "embedding")
+    val exact = e.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val scaled = e.where(col("vec_id") % 70 === 0)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    e.unionByName(exact).unionByName(scaled)
+  }
   private def pages(s: SparkSession, dir: String): DataFrame =
     DedupStages.pagesFromDocuments(docs(s, dir))
 
@@ -473,6 +487,18 @@ object SparkEntry {
             .otherwise(lit("Reliable content continues in this line."))))
       graft.ops.C4Filter.c4LineFilter(docs(s, dir).withColumn("text", deco))
     }),
+
+    // ---- CCNet-style per-language equal-depth quality buckets (Wenzek
+    // et al. 2020): NTILE over a total deterministic order; the DuckDB
+    // oracle replays score and window verbatim.
+    "q_quality_buckets" -> ((s, dir) =>
+      TextStats.qualityBuckets(docs(s, dir), buckets = 3)),
+
+    // ---- deterministic global shuffle + training-shard assignment:
+    // md5-hash total order, shard from the first 16 hash bits — the
+    // oracle rebuilds shard and position from the same digest.
+    "q_train_shards" -> ((s, dir) =>
+      graft.ops.MixingOps.shardAssign(docs(s, dir), nShards = 10)),
 
     // ---- PII detection + redaction (Dolma/FineWeb-style regex tier)
     // over deterministic PII-bearing sentences (see piiText); the
@@ -863,14 +889,36 @@ object SparkEntry {
     // scaled copies at +200000 — cos = 1 collides in every band, so the
     // generator's recall on them is exactly 1 and the exact DuckDB
     // all-pairs oracle is matched non-vacuously).
-    "q_embedding_dups" -> ((s, dir) => {
-      val e = embeddings(s, dir).select("vec_id", "embedding")
-      val exact = e.where(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
-      val scaled = e.where(col("vec_id") % 70 === 0)
-        .select((col("vec_id") + 200000).as("vec_id"),
-          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
-      Similarity.cosineDupPairs(e.unionByName(exact).unionByName(scaled), threshold = 0.95)
+    "q_embedding_dups" -> ((s, dir) =>
+      Similarity.cosineDupPairs(embWithDups(s, dir), threshold = 0.95)),
+
+    // ---- SemDeDup (Abbas et al. 2023): within-k-means-cell cosine
+    // pairs -> connected components -> keep min vec_id per semantic
+    // group. The oracle replays the keep decision from brute-force
+    // pairs + a recursive-CTE CC — it matches iff the within-cell
+    // candidate generation misses no true pair at this scale, which
+    // q_semdedup_recall pins explicitly.
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(embWithDups(s, dir), threshold = 0.95)),
+
+    // recall harness for the cell blocking: brute-force true pairs
+    // (test-scale oracle surface, like q_candidate_recall) anti-joined
+    // against the within-cell verified pairs. Fresh reads per
+    // derivation — sharing one uncached file-source frame across
+    // HOF-bearing self-joins corrupts lambda attribute resolution.
+    "q_semdedup_recall" -> ((s, dir) => {
+      import s.implicits._
+      val asD = (c: Column) => transform(c, x => x.cast("double"))
+      val e = embWithDups(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = embWithDups(s, dir)
+        .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val truePairs = a.join(b, col("id_a") < col("id_b"))
+        .where(Similarity.cosine(asD(col("ea")), asD(col("eb"))) >= 0.95)
+        .select("id_a", "id_b")
+      val caught = Similarity.semDedupPairs(embWithDups(s, dir), threshold = 0.95)
+      val missed = truePairs.join(caught, Seq("id_a", "id_b"), "left_anti").count()
+      Seq((truePairs.count(), missed)).toDF("n_true_pairs", "missed")
     }),
 
     "q_knn_brute" -> ((s, dir) =>
@@ -1475,6 +1523,28 @@ object SparkEntry {
         |  coalesce(array_to_string(ks, chr(10)), '') AS cleaned
         |FROM k""".stripMargin,
 
+    "q_quality_buckets" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(floor(1000.0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) AS BIGINT) AS score
+        |  FROM documents)
+        |SELECT doc_id, lang, score,
+        |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bucket
+        |FROM s""".stripMargin,
+
+    // shard = first 16 bits of md5(doc_id || '#shuffle') mod 10, rebuilt
+    // nibble-by-nibble (lexicographic hex order == numeric order, so the
+    // within-shard position replays from the hex string itself)
+    "q_train_shards" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#shuffle') AS hx FROM documents),
+        |u AS (SELECT doc_id, hx,
+        |  ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+        |   (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+        |   (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+        |   (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 10 AS shard FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+        |FROM u""".stripMargin,
+
     // The PII oracles hand-specify expected counts / redacted text per
     // input variant — an implementation-independent statement of the
     // regex-tier contract (no regex replay in DuckDB).
@@ -1708,6 +1778,35 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM ee a JOIN ee b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin,
+
+    // SemDeDup keep decision replayed implementation-independently:
+    // brute-force cosine pairs (DOUBLE-cast, like the Spark verify) ->
+    // recursive-CTE connected components -> min vec_id kept per group.
+    // Matching requires the Spark cell blocking to miss no true pair —
+    // the q_semdedup_recall row states that contract as data.
+    "q_semdedup" ->
+      """WITH RECURSIVE ee AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+        |  UNION ALL SELECT vec_id + 200000, list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+        |    FROM embeddings WHERE vec_id % 70 = 0),
+        |p AS (SELECT a.vec_id AS u, b.vec_id AS v FROM ee a JOIN ee b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95),
+        |sym AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(a, b) AS (SELECT u, v FROM sym
+        |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u WHERE r.a <> s.v),
+        |cl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        |SELECT e.vec_id, coalesce(cl.cluster_id, e.vec_id) AS cluster_id,
+        |  CAST(CASE WHEN coalesce(cl.cluster_id, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM ee e LEFT JOIN cl ON e.vec_id = cl.vec_id""".stripMargin,
+
+    "q_semdedup_recall" ->
+      """WITH ee AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+        |  UNION ALL SELECT vec_id + 200000, list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+        |    FROM embeddings WHERE vec_id % 70 = 0)
+        |SELECT count(*) AS n_true_pairs, CAST(0 AS BIGINT) AS missed
+        |FROM ee a JOIN ee b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin,
 
     "q_knn_brute" ->
       // DOUBLE-cast lists so DuckDB scores in float64 like the Spark side

@@ -64,4 +64,43 @@ object MixingOps {
       .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
       .drop("__copies")
   }
+
+  /** Deterministic global shuffle + shard assignment — the "randomize and
+    * shard the corpus for training" step every LLM data pipeline ends
+    * with. Each row gets:
+    *   shard — md5-derived uniform bucket in [0, nShards)
+    *   pos   — its 1-based position within the shard under the
+    *           hash-random total order (md5 hex compares
+    *           lexicographically exactly as the number it encodes)
+    * The order depends only on (key, salt): the same corpus shuffles
+    * identically on 1 executor or 1000, under AQE and task retry —
+    * `orderBy(rand(seed))`'s per-partition RNG stream gives none of that
+    * (same argument as `hashKeep` above). A different `salt` is a fresh
+    * independent epoch-shuffle of the same corpus.
+    *
+    * Shard from the first 16 hash bits (not a 64-bit value) so an oracle
+    * in any SQL engine can rebuild it from hex nibbles without bigint
+    * hex-decode support; 65,536 >> any practical nShards keeps the
+    * mod-bias negligible.
+    *
+    * Scale shape: the hash is a map-side projection; the only shuffle is
+    * the per-shard ordering. The window form here is the semantic spec;
+    * at 10^12 rows materialize the same thing with
+    * `repartition(nShards, col("shard")).sortWithinPartitions("sort_key")`
+    * and write per-shard files — identical order, no global window, and
+    * shards are the write-side unit of parallelism. */
+  def shardAssign(docs: DataFrame, nShards: Int, keyCol: String = "doc_id",
+                  salt: String = "#shuffle"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    docs
+      .withColumn("sort_key", h)
+      .withColumn("shard",
+        conv(substring(col("sort_key"), 1, 4), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("sort_key"), col(keyCol)))
+        .cast("long"))
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
 }

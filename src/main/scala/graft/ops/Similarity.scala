@@ -137,6 +137,15 @@ object Similarity {
                                    seed: Long, bucketCap: Int): DataFrame = {
     val coded = srpBands(emb, bands, bitsPerBand, seed)
       .select("vec_id", "band_id", "band_key").localCheckpoint(false)
+    bucketedPairs(coded, bucketCap)
+  }
+
+  /** Canonical (id_a < id_b) pairs of ids sharing a (band_id, band_key)
+    * bucket — the count-prefilter + over-cap star salvage shared by every
+    * bucketed candidate generator (SRP bands above, IVF cells in
+    * `semDedupPairs`). `coded` must be pinned/cached by the caller: it is
+    * consumed by the count agg and both join sides. */
+  private def bucketedPairs(coded: DataFrame, bucketCap: Int): DataFrame = {
     val counts = coded.groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))
       .where(col("n") >= 2)
@@ -311,6 +320,79 @@ object Similarity {
         i.cast("long").as("cent_id"))))
     base.select(col("vec_id"),
       scoredCells.getItem(0).getField("cent_id").as("cell"))
+  }
+
+  /** SemDeDup candidate+verify pairs (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540 — public paper): partition the
+    * embedding space with the deterministic k-means coarse quantizer
+    * (same fit as `knnIvf`), generate candidate pairs only WITHIN a
+    * cell, and verify with exact cosine >= `threshold`. Canonical
+    * (id_a < id_b) output.
+    *
+    * Multi-probe twist on the paper: each vector enters its `probeCells`
+    * nearest cells, not just its argmax cell — single-cell assignment
+    * loses every pair the quantizer splits across a cell boundary;
+    * probing 2 cells retires most of that boundary loss for ≤2× the
+    * candidate volume (the residual is measured by the recall harness
+    * row, `q_semdedup_recall`). Over-cap cells fall back to the same
+    * star salvage as the SRP bands (group recovery stays complete
+    * through the connected-components step in `semDedup`).
+    *
+    * Scale shape: the quantizer is a broadcast literal (zero-shuffle cell
+    * assignment); only narrow (vec_id, cell) rows enter the count
+    * prefilter and the cell self-join; vectors join back once per side
+    * onto deduplicated candidate ids. Cells are the partition unit at
+    * 10^12 rows — grow `nCentroids` with the corpus so cell volume stays
+    * bounded (the paper runs 50k clusters), and the within-cell join
+    * never approaches all-pairs. */
+  def semDedupPairs(emb: DataFrame, threshold: Double = 0.95,
+                    nCentroids: Int = 16, probeCells: Int = 2,
+                    kmeansIters: Int = 10, maxSample: Int = 4096,
+                    bucketCap: Int = 10000): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    if (base.isEmpty) // empty quantizer: no cells, no pairs
+      return base.select(col("vec_id").as("id_a"), col("vec_id").as("id_b")).limit(0)
+    val sample = base.orderBy("vec_id").limit(maxSample).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cent = fitCentroids(sample, nCentroids, kmeansIters)
+    val cvs = typedLit(cent)
+    val scoredCells = array_sort(transform(sequence(lit(0), lit(cent.size - 1)), i =>
+      struct((-cosine(col("v"), element_at(cvs, i + 1))).as("d"),
+        i.cast("long").as("cent_id"))))
+    val p = math.min(probeCells, cent.size)
+    val coded = base.select(col("vec_id"), lit(0).as("band_id"),
+        explode(transform(slice(scoredCells, 1, p), s => s.getField("cent_id")))
+          .as("band_key"))
+      .localCheckpoint(false)
+    // exact-cosine verify: vectors join back once per side onto the
+    // deduplicated narrow candidate ids (same shape as cosineDupPairs)
+    bucketedPairs(coded, bucketCap)
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup keep decision: connected components over the within-cell
+    * verified pairs, one representative (min vec_id) kept per semantic-
+    * duplicate group. Output (vec_id, cluster_id, kept) for EVERY input
+    * vector — singletons are their own cluster and kept=1 — so
+    * `where(kept = 1)` is the deduplicated corpus and the cluster_id is
+    * the lineage key back to what was dropped. */
+  def semDedup(emb: DataFrame, threshold: Double = 0.95,
+               nCentroids: Int = 16, probeCells: Int = 2,
+               kmeansIters: Int = 10, maxSample: Int = 4096,
+               bucketCap: Int = 10000): DataFrame = {
+    val pairs = semDedupPairs(emb, threshold, nCentroids, probeCells,
+      kmeansIters, maxSample, bucketCap)
+    val comp = graft.pipeline.ConnectedComponents.run(pairs)
+      .select(col("vertex").as("vec_id"), col("component"))
+    emb.select(col("vec_id")).join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .withColumn("kept",
+        when(col("cluster_id") === col("vec_id"), 1L).otherwise(0L))
   }
 
   /** ANN: exact rerank within shared SRP bands — candidate generation is

@@ -82,6 +82,39 @@ object TextStats {
         .as("distinct_permille"))
   }
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" — public paper): rank every document WITHIN its language by a
+    * quality score and cut the ranking into `buckets` equal-depth bands —
+    * CCNet's head/middle/tail thirds, which downstream training mixes
+    * sample at different rates. CCNet scores with a per-language LM's
+    * perplexity; the container ships no LM, so the score here is the
+    * integer lexical-diversity permille from `qualityFeatures` (disclosed
+    * stand-in — swap `scoreOf` for a model score column when one exists).
+    * The portable part is the mechanism: a TOTAL deterministic order
+    * (score desc, doc_id asc — no ties left to the engine) + standard SQL
+    * NTILE, so any engine replays the exact same buckets.
+    *
+    * Output: (doc_id, lang, score, bucket) with bucket in 1..`buckets`
+    * (1 = head). Scale shape: one shuffle, partitioned by lang. At 10^12
+    * docs the big languages skew a lang-partitioned window; the same
+    * equal-depth contract then comes from a two-pass cut — aggregate a
+    * per-lang quantile sketch (`percentile_approx`), broadcast the cut
+    * points, assign buckets map-side — with only the tiny sketch agg
+    * shuffling. The window form is the exact-semantics spec the sketch
+    * path is tested against. */
+  def qualityBuckets(docs: DataFrame, buckets: Int = 3,
+                     textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("lang"),
+      floor(lit(1000.0) * size(array_distinct(tokensCol(col(textCol)))) /
+        size(tokensCol(col(textCol)))).cast("long").as("score"))
+    scored.withColumn("bucket", ntile(buckets).over(
+        Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id").asc))
+      .cast("long"))
+  }
+
   /** Stopwords the Gopher quality gate requires ≥2 distinct hits of
     * (Rae et al. 2021, MassiveText filtering — public paper). */
   val gateStopwords: Seq[String] =

@@ -64,4 +64,32 @@ class MixingOpsSpec extends AnyFunSuite {
     val s2 = df.where(MixingOps.hashKeep($"doc_id", 0.5, "#b")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s1 != s2)
   }
+
+  private def shardRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("shardAssign: dense 1..n positions per shard, roughly uniform shards") {
+    val out = shardRows(MixingOps.shardAssign(corpus(400), nShards = 8))
+    assert(out.size == 400)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // positions within a shard are exactly 1..count — a writer can use
+    // them as file offsets with no gaps
+    byShard.foreach { case (sh, g) =>
+      assert(g.map(_._3).toSeq.sorted == (1L to g.size).toSeq, s"shard $sh") }
+    // md5-uniform: no shard more than 2x the mean on 400 keys
+    assert(byShard.values.map(_.size).max <= 100)
+  }
+
+  test("shardAssign: partition-independent and salt-sensitive") {
+    val base = corpus(300)
+    val a = shardRows(MixingOps.shardAssign(base, 8))
+    assert(a == shardRows(MixingOps.shardAssign(base.repartition(7), 8)))
+    assert(a == shardRows(MixingOps.shardAssign(base.repartition(1), 8)))
+    // a different salt is a fresh epoch shuffle: same keys, different
+    // (shard, pos) layout
+    val b = shardRows(MixingOps.shardAssign(base, 8, salt = "#epoch2"))
+    assert(a.map(_._1) == b.map(_._1))
+    assert(a != b)
+  }
 }

@@ -159,4 +159,48 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = got.size.toDouble / truth.size
     assert(recall >= 0.99, s"recall $recall below 0.99 (${truth.size - got.size} missed)")
   }
+
+  test("semDedup: one min-id representative kept per semantic group, singletons kept") {
+    val out = Similarity.semDedup(emb, threshold = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == emb.count())
+    val byId = out.map(t => t._1 -> t).toMap
+    // the planted group {0 anchor, 1 exact copy, 2 near-dup}: cluster 0,
+    // only the min id survives
+    assert(byId(0L) == ((0L, 0L, 1L)))
+    assert(byId(1L) == ((1L, 0L, 0L)))
+    assert(byId(2L) == ((2L, 0L, 0L)))
+    // the far vector is its own singleton and kept
+    assert(byId(3L) == ((3L, 3L, 1L)))
+    // invariants: exactly one kept per cluster, and it IS the cluster id
+    out.groupBy(_._2).foreach { case (cid, g) =>
+      assert(g.count(_._3 == 1L) == 1, s"cluster $cid kept-count")
+      assert(g.find(_._3 == 1L).get._1 == cid, s"cluster $cid representative")
+    }
+  }
+
+  test("semDedup pairs equal the exact-threshold truth on the planted fixture") {
+    // within-cell blocking must not split the planted dup pairs on this
+    // fixture (the harness-scale q_semdedup_recall row pins the same
+    // contract against DuckDB), and the cosine verifier admits no false
+    // positives — so the pair set IS the exact truth here
+    val pairs = Similarity.semDedupPairs(emb, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val a = base.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = base.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val truth = a.join(b, col("ia") < col("ib"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= 0.95)
+      .select(col("ia"), col("ib"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.contains((0L, 1L)) && truth.contains((0L, 2L)))
+    assert(pairs == truth)
+  }
+
+  test("semDedup on empty input returns an empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(empty).count() == 0)
+    assert(Similarity.semDedupPairs(empty).count() == 0)
+  }
 }

@@ -63,4 +63,27 @@ class TextStatsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got2(1L) == 2L && got2(2L) == 3L && got2(3L) == 0L)
   }
+
+  test("qualityBuckets: equal-depth per language, score-monotone buckets") {
+    import spark.implicits._
+    // en: 9 docs with distinct-permille 100..900 (10 tokens, 1..9 distinct);
+    // de: 3 docs so each tercile gets exactly one
+    def text(distinct: Int): String =
+      ((0 until distinct).map(i => s"w$i") ++ Seq.fill(10 - distinct)("w0")).mkString(" ")
+    val docs = ((1 to 9).map(i => (i.toLong, "en", text(i))) ++
+      (10 to 12).map(i => (i.toLong, "de", text(i - 9))))
+      .toDF("doc_id", "lang", "text")
+    val got = TextStats.qualityBuckets(docs, buckets = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val en = got.filter(_._2 == "en")
+    // equal depth: 3 docs per bucket
+    assert(en.groupBy(_._4).view.mapValues(_.length).toMap == Map(1L -> 3, 2L -> 3, 3L -> 3))
+    // bucket 1 = head (highest scores): docs 7,8,9
+    assert(en.filter(_._4 == 1L).map(_._1).toSet == Set(7L, 8L, 9L))
+    assert(en.filter(_._4 == 3L).map(_._1).toSet == Set(1L, 2L, 3L))
+    // languages bucket independently: de's 3 docs land one per bucket
+    val de = got.filter(_._2 == "de")
+    assert(de.map(_._4).toSet == Set(1L, 2L, 3L))
+    assert(de.maxBy(_._3)._4 == 1L)
+  }
 }
