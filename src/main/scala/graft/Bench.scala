@@ -223,6 +223,13 @@ object Bench {
       println(f"GRAFT_SCALE_RUN_WALL=$secs%.3f")
       Console.out.flush() // partial walls must reach a watchdog-killed parent
       val improved = secs < best * 0.90
+      // a run ≥25% WORSE than the best so far is foreign-load noise, not
+      // convergence — stopping on it strands the leg's min at a cold or
+      // contended wall (dress 17: hi walls 77.5 → 133.9 stopped at 2 runs
+      // and banked the cold 77.5 as "steady", reading 0.500); keep
+      // sampling while the budget and maxRuns allow, since a later quiet
+      // run can only LOWER the min
+      val contended = secs > best * 1.25
       best = math.min(best, secs)
       // projected next-run wall: after run 1 the JVM is warm, so the next
       // run is expected well UNDER the cold wall (measured 0.37–0.60×);
@@ -235,7 +242,8 @@ object Bench {
       // hi=steady → a meaningless 2.19); the parent's watchdog kills at
       // budget+90 and salvages printed walls, so the bet is bounded
       val slack = if (i < minRuns) 70.0 else 0.0
-      cont = (i < minRuns || improved) && childElapsed + nextEst <= budgetS + slack
+      cont = (i < minRuns || improved || contended) &&
+        childElapsed + nextEst <= budgetS + slack
     }
     println(f"GRAFT_SCALE_WALL=$best%.3f")
     // recall is banked once per rep from the hi-level child; the lo child
@@ -362,15 +370,21 @@ object Bench {
     math.min(math.max(120.0, remaining - 60.0),
              math.max(60.0, remaining - ChildReapS))
   /** Tail-retry plan: Some((retryLoLeg, childBudget)) when leftover
-    * window fits one more leg sample, None otherwise. A never-steady lo
-    * leg (ratio biased HIGH) outranks the hi retry and needs cold+warm
-    * (~450 s); a steady lo leaves the hi leg — the ≥0.8-bar failure
-    * mode (biased LOW) — a 2-run retry capped at 300 s. */
-  private[graft] def retryPlan(steadyLo: Boolean,
+    * window fits one more leg sample, None otherwise. Priority:
+    *  1. never-steady lo (ratio biased HIGH, meaningless) — needs
+    *     cold+warm (~450 s);
+    *  2. steady-but-cold-MIN lo (ratio still biased HIGH: its min wall
+    *     is a cold run 1) — same cold+warm need, retire the flattering
+    *     bias before adding hi samples;
+    *  3. otherwise the hi leg — the ≥0.8-bar failure mode (biased LOW,
+    *     incl. a cold-min hi like dress 17) — a 2-run retry capped at
+    *     300 s; the tail of the window is typically its cleanest part. */
+  private[graft] def retryPlan(steadyLo: Boolean, minWarmLo: Boolean,
                                remaining: Double): Option[(Boolean, Double)] = {
     val rem = remaining - ChildReapS
-    if (!steadyLo && rem >= 450.0) Some((true, rem))
-    else if (steadyLo && rem >= 140.0) Some((false, math.min(rem, 300.0)))
+    if (!steadyLo) { if (rem >= 450.0) Some((true, rem)) else None }
+    else if (!minWarmLo && rem >= 450.0) Some((true, rem))
+    else if (rem >= 140.0) Some((false, math.min(rem, 300.0)))
     else None
   }
 
@@ -401,6 +415,33 @@ object Bench {
     var hiWarm = 0
     def steadyLo: Boolean = loWarm >= 1
     def steadyHi: Boolean = hiWarm >= 1
+    // per-child (best wall, best came from a warm run): a leg whose
+    // overall MIN wall is a child's cold run 1 banked a JIT/heap-growth-
+    // inflated estimate even when the leg is nominally "steady" (a warm
+    // run exists but was contention-slower — dress 17's hi leg). Cold
+    // run 1 can only OVERSTATE the steady wall, so the bias direction is
+    // always known and the JSON says it.
+    private val loBests = scala.collection.mutable.ListBuffer.empty[(Double, Boolean)]
+    private val hiBests = scala.collection.mutable.ListBuffer.empty[(Double, Boolean)]
+    def minWarmLo: Boolean = loBests.nonEmpty && loBests.minBy(_._1)._2
+    def minWarmHi: Boolean = hiBests.nonEmpty && hiBests.minBy(_._1)._2
+    /** Bank one child's result on the lo leg. `forceWarm` marks in-JVM
+      * fallback reps after the first (same-JVM, already warm). */
+    def addLo(best: Double, runs: Seq[Double], forceWarm: Boolean = false): Unit = {
+      loRuns += best; loAllRuns ++= runs
+      loWarm += (if (forceWarm) 1 else math.max(0, runs.size - 1))
+      loBests += ((best, forceWarm || runs.indexOf(best) > 0))
+    }
+    def addHi(best: Double, runs: Seq[Double], forceWarm: Boolean = false): Unit = {
+      hiRuns += best; hiAllRuns ++= runs
+      hiWarm += (if (forceWarm) 1 else math.max(0, runs.size - 1))
+      hiBests += ((best, forceWarm || runs.indexOf(best) > 0))
+    }
+    /** Drop all banked legs (the in-JVM fallback restarts the protocol). */
+    def reset(): Unit = {
+      loRuns.clear(); hiRuns.clear(); loAllRuns.clear(); hiAllRuns.clear()
+      loBests.clear(); hiBests.clear(); loWarm = 0; hiWarm = 0
+    }
     private def confound: String =
       if (steadyLo != steadyHi) {
         if (steadyHi) ",\"efficiency_confound\":\"lo leg banked only its cold run (budget/watchdog) while hi reached steady state: ratio biased HIGH, not a scaling measurement\""
@@ -413,9 +454,18 @@ object Bench {
         // host_load for the per-phase load1 evidence). Read as ">= 0.8
         // met, magnitude unreliable" — never as measured super-linearity.
         ",\"efficiency_confound\":\"super-unity ratio: lo-leg walls contention-inflated (see host_load); treat as efficiency >= 0.8 with unreliable magnitude, not super-linear scaling\""
+      else if (complete && minWarmLo && !minWarmHi)
+        // cold run 1 >= true steady wall always (JIT/heap growth only add
+        // wall), so a cold-min hi leg OVERSTATES the hi wall: the banked
+        // ratio is a LOWER bound on the box's scaling (dress 17: hi
+        // 77.5 cold / 133.9 contended-warm banked 0.500 where retried
+        // quiet-window hi walls sit at 42-53 s => >= 0.8)
+        ",\"efficiency_confound\":\"hi leg's min wall is its cold run 1 (its warm runs were contention-slower): hi wall overstated, ratio biased LOW - a lower bound on scaling, not a steady measurement\""
+      else if (complete && !minWarmLo && minWarmHi)
+        ",\"efficiency_confound\":\"lo leg's min wall is its cold run 1 (its warm runs were contention-slower): lo wall overstated, ratio biased HIGH, not a steady measurement\""
       else ""
     def json: String =
-      s""""$label":{"scale_n":$scaleN,"min_of_k":${math.min(loRuns.size, hiRuns.size)},"docs_per_sec_n":${f"${scaleN / loRuns.min}%.1f"},"docs_per_sec_4n":${f"${scaleN / hiRuns.min}%.1f"},"wall_s_n":${f"${loRuns.min}%.3f"},"wall_s_4n":${f"${hiRuns.min}%.3f"},"wall_runs_n":${arr(loAllRuns.toSeq)},"wall_runs_4n":${arr(hiAllRuns.toSeq)},"steady_n":$steadyLo,"steady_4n":$steadyHi$confound,"recall":${f"$recall%.4f"},"efficiency":${f"$efficiency%.3f"}}"""
+      s""""$label":{"scale_n":$scaleN,"min_of_k":${math.min(loRuns.size, hiRuns.size)},"docs_per_sec_n":${f"${scaleN / loRuns.min}%.1f"},"docs_per_sec_4n":${f"${scaleN / hiRuns.min}%.1f"},"wall_s_n":${f"${loRuns.min}%.3f"},"wall_s_4n":${f"${hiRuns.min}%.3f"},"wall_runs_n":${arr(loAllRuns.toSeq)},"wall_runs_4n":${arr(hiAllRuns.toSeq)},"steady_n":$steadyLo,"steady_4n":$steadyHi,"min_warm_n":$minWarmLo,"min_warm_4n":$minWarmHi$confound,"recall":${f"$recall%.4f"},"efficiency":${f"$efficiency%.3f"}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -530,6 +580,12 @@ object Bench {
     }
     queries("rare_tokens") = time(
       graft.ops.TextStats.rareTokenStats(docsDf.select(col("doc_id"), col("text"))).count())
+    queries("quality_buckets") = time(
+      graft.ops.TextStats.qualityBuckets(docsDf).count())
+    queries("train_shards") = time(graft.ops.MixingOps.shardAssign(
+      docsDf.select(col("doc_id")), nShards = 10).count())
+    queries("semdedup") = time(
+      graft.ops.Similarity.semDedup(embDf.select(col("vec_id"), col("embedding"))).count())
     // IVF ANN recall vs exact top-5, UNclamped (the oracle row
     // q_knn_ivf asserts only the >=500 floor; the artifact banks the
     // real number per round so within-band regressions stay visible)
@@ -678,9 +734,7 @@ object Bench {
                 // rc-124 despite all the banking work
                 val (t, r, runsHi) =
                   spawnLevel(corpusDir, hi, hiChildBudget(remaining), withRecall = true)
-                proto.hiRuns += t
-                proto.hiAllRuns ++= runsHi
-                proto.hiWarm += math.max(0, runsHi.size - 1)
+                proto.addHi(t, runsHi)
                 if (!r.isNaN) proto.recall = r // planted recall, computed in-child
                 heartbeat(s"${proto.label}-rep$rep-hi")
                 // per-LEG deadline gate (the rep-level 180 s check was
@@ -696,9 +750,7 @@ object Bench {
                 } else {
                   val (tLo, _, runsLo) = spawnLevel(corpusDir, lo,
                     loChildBudget(remaining), withRecall = false)
-                  proto.loRuns += tLo
-                  proto.loAllRuns ++= runsLo
-                  proto.loWarm += math.max(0, runsLo.size - 1)
+                  proto.addLo(tLo, runsLo)
                   lastRepCost = (System.nanoTime() - tRep) / 1e9
                   heartbeat(s"${proto.label}-rep$rep-lo")
                   emitScaling()
@@ -722,19 +774,14 @@ object Bench {
               // retry child must leave the parent room to exit rc 0
               // inside the budget
               val retry: Option[(Int, Double)] =
-                retryPlan(proto.steadyLo, remaining)
+                retryPlan(proto.steadyLo, proto.minWarmLo, remaining)
                   .map { case (loLeg, b) => (if (loLeg) lo else hi, b) }
               retry.foreach { case (cpusR, budgetR) =>
                 try {
                   val (t2, _, runs2) = spawnLevel(corpusDir, cpusR, budgetR,
                     withRecall = false, maxRunsOverride = Some(2))
-                  if (cpusR == lo) {
-                    proto.loRuns += t2; proto.loAllRuns ++= runs2
-                    proto.loWarm += math.max(0, runs2.size - 1)
-                  } else {
-                    proto.hiRuns += t2; proto.hiAllRuns ++= runs2
-                    proto.hiWarm += math.max(0, runs2.size - 1)
-                  }
+                  if (cpusR == lo) proto.addLo(t2, runs2)
+                  else proto.addHi(t2, runs2)
                   heartbeat(s"${proto.label}-retry-c$cpusR")
                   emitScaling()
                 } catch {
@@ -754,20 +801,18 @@ object Bench {
               // fallback: in-JVM levels (soft local[n] caps — pessimistic
               // efficiency, but the bench still completes end-to-end)
               System.err.println(s"scale-child spawn failed (${proto.label}), in-JVM fallback: $e")
-              proto.loRuns.clear(); proto.hiRuns.clear()
+              proto.reset()
               // in-JVM reps have no child watchdog: gate each on the
               // remaining budget so the fallback cannot blow the window
               for (rep <- 1 to reps(proto.label) if remaining > 120.0) {
                 // same parent JVM: reps after the first run warm
-                if (rep > 1) { proto.loWarm += 1; proto.hiWarm += 1 }
                 s = session(lo)
-                proto.loRuns += runPipeline(s, s.read.parquet(corpusDir), stageLaps = false)._1
-                proto.loAllRuns += proto.loRuns.last
+                val tLo = runPipeline(s, s.read.parquet(corpusDir), stageLaps = false)._1
+                proto.addLo(tLo, Seq(tLo), forceWarm = rep > 1)
                 s = session(hi)
                 val (t, r, _) = runPipeline(s, s.read.parquet(corpusDir),
                   keep = true, stageLaps = false)
-                proto.hiRuns += t
-                proto.hiAllRuns += t
+                proto.addHi(t, Seq(t), forceWarm = rep > 1)
                 proto.recall = plantedRecall(s.read.parquet(corpusDir), r.verifiedPairs)
                 r.signatures.unpersist(); r.verifiedPairs.unpersist()
                 r.candidatePairs.unpersist()

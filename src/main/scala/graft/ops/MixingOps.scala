@@ -103,4 +103,27 @@ object MixingOps {
         .cast("long"))
       .select(col(keyCol), col("shard"), col("pos"))
   }
+
+  /** The write-path materialization of `shardAssign` — what actually runs
+    * at 10^12 rows: repartition BY shard (each shard lands wholly in one
+    * task), sort within the partition by the same hash order, and stream
+    * shard files out — rows leave the writer already in shuffle order
+    * with NO global window and no `pos` column to carry (a row's position
+    * is its offset in its shard file). One shuffle, same as the window
+    * form, but the per-shard sort is a streaming spill-friendly task sort
+    * instead of a windowed rank. MixingOpsSpec asserts the written order
+    * is byte-identical to `shardAssign`'s `pos` order per shard. */
+  def writeShards(docs: DataFrame, nShards: Int, path: String,
+                  keyCol: String = "doc_id", salt: String = "#shuffle"): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    docs
+      .withColumn("sort_key", h)
+      .withColumn("shard",
+        conv(substring(col("sort_key"), 1, 4), 16, 10).cast("long") % nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("sort_key"), col(keyCol))
+      .drop("sort_key")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+  }
 }

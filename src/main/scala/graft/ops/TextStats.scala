@@ -115,6 +115,39 @@ object TextStats {
       .cast("long"))
   }
 
+  /** The sketch-path materialization of `qualityBuckets` — what actually
+    * runs when a language no longer fits one window partition: pass 1
+    * aggregates a per-language quantile sketch (`percentile_approx`, a
+    * few KB per language), pass 2 assigns buckets MAP-SIDE against the
+    * broadcast cut points — only the tiny sketch agg shuffles, never the
+    * corpus. Two deviations from the exact window form, both inherent to
+    * cut-point bucketing (this is CCNet's own formulation — fixed
+    * perplexity cut points, not a rank): tied scores land in ONE bucket
+    * (ntile splits ties to equalize depth), and depth is equal only to
+    * sketch accuracy and boundary rounding. TextStatsSpec pins the
+    * sketch path's contract — score-monotone buckets, near-equal depth
+    * on tie-free data, ties co-bucketed — next to the exact window
+    * form. */
+  def qualityBucketsSketch(docs: DataFrame, buckets: Int = 3,
+                           textCol: String = "text",
+                           accuracy: Int = 10000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      floor(lit(1000.0) * size(array_distinct(tokensCol(col(textCol)))) /
+        size(tokensCol(col(textCol)))).cast("long").as("score"))
+    // quantiles of DESCENDING rank = ascending (1-q) quantiles of score:
+    // bucket b covers scores in (cut_b, cut_{b-1}]; bucket 1 = head
+    val qs = (1 until buckets).map(i => 1.0 - i.toDouble / buckets)
+    val cuts = scored.groupBy("lang")
+      .agg(percentile_approx(col("score"), typedLit(qs), lit(accuracy)).as("cuts"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        (lit(1) + aggregate(col("cuts"), lit(0),
+          (acc, cut) => acc + when(col("score") <= cut, 1).otherwise(0)))
+        .cast("long"))
+      .select("doc_id", "lang", "score", "bucket")
+  }
+
   /** Stopwords the Gopher quality gate requires ≥2 distinct hits of
     * (Rae et al. 2021, MassiveText filtering — public paper). */
   val gateStopwords: Seq[String] =

@@ -92,4 +92,29 @@ class MixingOpsSpec extends AnyFunSuite {
     assert(a.map(_._1) == b.map(_._1))
     assert(a != b)
   }
+
+  test("writeShards: file order per shard is exactly shardAssign's pos order") {
+    val base = corpus(300)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    MixingOps.writeShards(base, nShards = 8, dir)
+    // window-form spec: key -> (shard, pos)
+    val spec = MixingOps.shardAssign(base, 8).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0)).toMap
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).toSeq
+    assert(shardDirs.nonEmpty && spec.size == 300)
+    var seen = 0
+    shardDirs.foreach { d =>
+      val shard = d.getName.stripPrefix("shard=").toLong
+      // exactly ONE file per shard (the shard lands wholly in one task)
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"shard $shard has ${parts.length} files")
+      val keys = spark.read.parquet(parts.head.getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      keys.zipWithIndex.foreach { case (k, i) =>
+        assert(spec((shard, i + 1L)) == k, s"shard $shard offset $i") }
+      seen += keys.length
+    }
+    assert(seen == 300)
+  }
 }

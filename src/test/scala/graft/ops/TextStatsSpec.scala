@@ -86,4 +86,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(de.map(_._4).toSet == Set(1L, 2L, 3L))
     assert(de.maxBy(_._3)._4 == 1L)
   }
+
+  test("qualityBucketsSketch: monotone cut-point buckets, near-equal depth, ties co-bucketed") {
+    import spark.implicits._
+    def text(distinct: Int): String =
+      ((0 until distinct).map(i => s"w$i") ++ Seq.fill(10 - distinct)("w0")).mkString(" ")
+    // tie-free: 9 distinct scores in one language
+    val docs = (1 to 9).map(i => (i.toLong, "en", text(i))).toDF("doc_id", "lang", "text")
+    val got = TextStats.qualityBucketsSketch(docs, buckets = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.length == 9)
+    // monotone: a higher score never lands in a later (worse) bucket
+    got.foreach { a => got.foreach { b =>
+      if (a._2 > b._2) assert(a._3 <= b._3, s"$a vs $b") } }
+    // near-equal depth on tie-free data: every bucket within ±1 of n/3
+    val depths = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(depths.keySet == Set(1L, 2L, 3L))
+    assert(depths.values.forall(d => d >= 2 && d <= 4), depths.toString)
+    // ties land in ONE bucket (the contract ntile cannot give): all-equal
+    // scores collapse into a single bucket
+    val tied = (1 to 9).map(i => (i.toLong, "en", text(5))).toDF("doc_id", "lang", "text")
+    val tiedBuckets = TextStats.qualityBucketsSketch(tied, buckets = 3).collect()
+      .map(_.getLong(3)).toSet
+    assert(tiedBuckets.size == 1, tiedBuckets.toString)
+  }
 }
