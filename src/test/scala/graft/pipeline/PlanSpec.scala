@@ -136,4 +136,60 @@ class PlanSpec extends AnyFunSuite {
     val sigs = DedupStages.signatures(pages, cfg)
     assert(DedupStages.exactCandidates(sigs).count() == 49)
   }
+
+  test("shardAssign: exactly one shuffle, and doc text never crosses it") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // full-width docs in: column pruning must push the 3-column window
+    // input below the exchange (at 100 TB the payload crossing the
+    // shuffle IS the cost)
+    val docs = parquetPages.selectExpr("url AS doc_id", "text", "lang")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shuffled =
+      try graft.ops.MixingOps.shardAssign(docs, nShards = 8, keyCol = "doc_id")
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.child.output.map(_.name)
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(shuffled.size == 1, s"expected exactly one exchange, got ${shuffled.size}")
+    assert(!shuffled.head.contains("text") && !shuffled.head.contains("lang"),
+      s"payload crosses the shard shuffle: ${shuffled.head.mkString(",")}")
+  }
+
+  test("qualityBuckets: one shuffle on lang, score computed map-side (no text crosses)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = parquetPages.selectExpr("url AS doc_id", "lang", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shuffled =
+      try graft.ops.TextStats.qualityBuckets(docs)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.child.output.map(_.name)
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(shuffled.size == 1, s"expected exactly one exchange, got ${shuffled.size}")
+    assert(!shuffled.head.contains("text"),
+      s"doc text crosses the bucketing shuffle: ${shuffled.head.mkString(",")}")
+  }
+
+  test("semDedup pairs: no cartesian/nested-loop join, vectors never ride the cell shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.ops.Similarity.semDedupPairs(emb, threshold = 0.95)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val planStr = plan.toString()
+    assert(!planStr.contains("CartesianProduct"), "cartesian product in semDedup plan")
+    assert(!planStr.contains("BroadcastNestedLoopJoin"), "nested loop join in semDedup plan")
+    // the cell self-join shuffles only narrow (vec_id, band) rows; the
+    // vectors join back for the rerank AFTER candidate dedup
+    plan.collect { case e: ShuffleExchangeExec => e.child.output }.foreach { out =>
+      out.foreach(a => assert(
+        !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"array column ${a.name} crosses a semDedup shuffle"))
+    }
+  }
 }
