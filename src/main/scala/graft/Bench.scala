@@ -597,6 +597,15 @@ object Bench {
       ivfField = s""","ivf_recall_permille":${if (total == 0) 1000L else hit * 1000L / total}"""
       total
     }
+    queries("bpe_merges") = time {
+      graft.ops.BpeOps.learnMerges(docsDf.select(col("text")), k = 4).length.toLong
+    }
+    queries("outlinks") = time {
+      import org.apache.spark.sql.functions.{concat, explode, lit}
+      val html = concat(lit("<a href=\""), col("text"), lit("\">x</a> <a href=\"https://s"),
+        col("doc_id") % 5, lit(".example.org/p/"), col("doc_id"), lit("\">y</a>"))
+      docsDf.select(explode(graft.ops.HtmlOps.outlinks(html)).as("l")).count()
+    }
     heartbeat("aux-done")
     emit()
 

@@ -123,6 +123,17 @@ object SparkEntry {
       .otherwise(lit("already caf\u00e9 correct"))
   }
 
+  /** Deterministic html payload with three absolute links (one per href
+    * quote style, mixed tag case) and one relative ref the extractor
+    * must skip — the q_outlinks / q_link_graph fixture. */
+  private def linkedHtml: Column = concat(
+    lit("<html><body><a href=\"https://site"), col("doc_id") % 7,
+    lit(".example.org/p/"), col("doc_id"),
+    lit("\">a</a> <a href='http://m"), col("doc_id") % 3,
+    lit(".example.net/q?id="), col("doc_id"),
+    lit("'>b</a> <A HREF=https://cdn.example.com/r/"), col("doc_id"),
+    lit(">c</A> <a href=\"/rel/"), col("doc_id"), lit("\">d</a></body></html>"))
+
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -556,6 +567,58 @@ object SparkEntry {
         col("doc_id"),
         graft.ops.EncodingRepair.fixMojibake(mojiText).as("fixed"),
         graft.ops.EncodingRepair.isMojibake(mojiText).as("was_mojibake"))),
+
+    // ---- outlink extraction / link graph (HtmlOps.outlinks). The html
+    // payload wraps deterministic links in all three href quote styles
+    // plus a relative ref the extractor must skip, so the oracle states
+    // the expected link set arithmetically — independent of the regex
+    // mechanics being tested.
+    "q_outlinks" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        explode(graft.ops.HtmlOps.outlinks(linkedHtml.cast("binary"))).as("outlink"))),
+
+    // host-level link graph over the extracted outlinks: src host is the
+    // synthesized crawl host (source.example.com, as pagesFromDocuments),
+    // dst host parsed from each link by UrlOps.host
+    "q_link_graph" -> ((s, dir) =>
+      docs(s, dir)
+        .select(concat(col("source"), lit(".example.com")).as("src_host"),
+          explode(graft.ops.HtmlOps.outlinks(linkedHtml.cast("binary"))).as("outlink"))
+        .groupBy(col("src_host"), graft.ops.UrlOps.host(col("outlink")).as("dst_host"))
+        .agg(count(lit(1)).as("n_links"))),
+
+    // ---- domain blocklist filter (UrlOps.blockHosts): exact-host AND
+    // parent-domain entries over deterministic synthetic urls
+    "q_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("https://h"), col("doc_id") % 10, lit(".d"),
+        col("doc_id") % 4, lit(".example.org/doc/"), col("doc_id"))
+      val bl = Seq("h3.d1.example.org", "d2.example.org").toDF("host")
+      graft.ops.UrlOps.blockHosts(docs(s, dir).withColumn("url", url), bl)
+        .select("doc_id")
+    }),
+
+    // ---- distributed BPE (BpeOps): the oracle-checked core is the
+    // symbol-pair count table (marker-free form so the DuckDB mirror is
+    // pure substr arithmetic); the top-100 cutoff is a total order
+    // (cnt desc, left, right) so ties cannot flake the row set.
+    "q_bpe_pairs" -> ((s, dir) => {
+      import graft.ops.BpeOps
+      BpeOps.pairCounts(BpeOps.wordFreqs(docs(s, dir))
+          .select(BpeOps.toSymbols(col("word"), endMark = false).as("syms"), col("freq")))
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(100)
+    }),
+
+    // learned top-8 merges (iterative argmax — not SQL-expressible, so
+    // rows-only here; BpeOpsSpec pins the full semantics against an
+    // independent single-node reference implementation)
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.BpeOps.learnMerges(docs(s, dir), k = 8)
+        .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "left", "right")
+    }),
 
     // -------------------------------------- dedup channels (SURVEY §2.4, §7.0)
     "q_exact_dup_pairs" -> ((s, dir) => {
@@ -1602,6 +1665,45 @@ object SparkEntry {
         |  ELSE 'already caf\u00e9 correct' END AS fixed,
         |doc_id % 6 IN (0, 1, 2, 3) AS was_mojibake
         |FROM documents""".stripMargin,
+
+    // Outlink oracles: state the expected link set ARITHMETICALLY (the
+    // fixture plants the links), fully independent of the extraction
+    // regexes under test.
+    "q_outlinks" ->
+      """SELECT doc_id, unnest([
+        |  'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR),
+        |  'http://m' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/q?id=' || CAST(doc_id AS VARCHAR),
+        |  'https://cdn.example.com/r/' || CAST(doc_id AS VARCHAR)]) AS outlink
+        |FROM documents""".stripMargin,
+
+    "q_link_graph" ->
+      """WITH e AS (SELECT source || '.example.com' AS src_host, unnest([
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org',
+        |    'm' || CAST(doc_id % 3 AS VARCHAR) || '.example.net',
+        |    'cdn.example.com']) AS dst_host
+        |  FROM documents)
+        |SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // Blocklist oracle: the synthetic url's host is
+    // h{id%10}.d{id%4}.example.org; blocked by the exact host
+    // h3.d1.example.org and the parent domain d2.example.org.
+    "q_blocklist" ->
+      """SELECT doc_id FROM documents
+        |WHERE NOT (doc_id % 10 = 3 AND doc_id % 4 = 1)
+        |  AND doc_id % 4 <> 2""".stripMargin,
+
+    // BPE pair-count oracle: whitespace words (case-sensitive), adjacent
+    // character pairs weighted by word frequency, deterministic top-100
+    // (total order: cnt desc, left, right).
+    "q_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+        |wf AS (SELECT w, count(*)::BIGINT AS f FROM words WHERE length(w) > 0 GROUP BY w),
+        |pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS "left",
+        |    substr(w, CAST(i AS INT) + 1, 1) AS "right", f
+        |  FROM wf, unnest(range(1, length(w))) AS t(i))
+        |SELECT "left", "right", sum(f)::BIGINT AS cnt FROM pairs
+        |GROUP BY 1, 2 ORDER BY cnt DESC, "left", "right" LIMIT 100""".stripMargin,
 
     // Decontamination oracle: replays the identical tokenize → 8-gram →
     // md5 → distinct-overlap-count pipeline in DuckDB (same single-space

@@ -42,4 +42,27 @@ object HtmlOps {
     ).foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
     trim(regexp_replace(ent, "\\s+", " "))
   }
+
+  /** Absolute http(s) outlinks of a page: every `href` attribute value
+    * (double-, single-, or un-quoted; any attribute order; tag case
+    * ignored) that starts with a scheme — the edge extractor a link
+    * graph / crawl frontier / PageRank-style domain-quality pass feeds
+    * on. Relative refs are skipped (resolving them needs the base URL —
+    * compose with `concat` against the page's own url upstream if
+    * wanted). One codegen `regexp_extract_all` per row, no shuffle; the
+    * DuckDB oracle replays the identical RE2-safe pattern. */
+  def outlinks(html: Column): Column = {
+    val s = html.cast("string")
+    // one single-group pattern per quote style (engines disagree on
+    // non-participating alternation groups: Spark yields "", DuckDB/RE2
+    // NULL — separate patterns sidestep that entirely); the unquoted
+    // pattern cannot fire inside a quoted value because the char after
+    // `=` there is the quote. Links come out grouped by quote style,
+    // not document order — a link-graph consumer treats them as a set.
+    val styles = Seq(
+      "(?i)href\\s*=\\s*\"(https?://[^\"]+)\"",
+      "(?i)href\\s*=\\s*'(https?://[^']+)'",
+      "(?i)href\\s*=\\s*(https?://[^\\s>\"']+)")
+    styles.map(p => regexp_extract_all(s, lit(p), lit(1))).reduce(concat(_, _))
+  }
 }

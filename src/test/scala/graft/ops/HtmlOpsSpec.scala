@@ -47,4 +47,29 @@ class HtmlOpsSpec extends AnyFunSuite {
       .head().getString(0)
     assert(got == "payload text")
   }
+
+  private def links(s: String): Seq[String] =
+    Seq(s).toDF("html").select(HtmlOps.outlinks(col("html")))
+      .head().getSeq[String](0)
+
+  test("outlinks: all three quote styles, any case, whitespace around =") {
+    val html = """<a href="https://a.com/x">1</a> <a HREF='http://b.org/y?q=1'>2</a>
+                 |<A href = https://c.net/z>3</A>""".stripMargin
+    assert(links(html).toSet ==
+      Set("https://a.com/x", "http://b.org/y?q=1", "https://c.net/z"))
+  }
+
+  test("outlinks: relative refs and non-href urls are skipped") {
+    val html = """<a href="/rel/path">r</a> <img src="https://img.com/i.png">
+                 |<a href="https://keep.me/p">k</a>""".stripMargin
+    assert(links(html) == Seq("https://keep.me/p"))
+    assert(links("<p>no links at all</p>") == Seq())
+  }
+
+  test("outlinks: unquoted value stops at whitespace or tag end; binary input") {
+    val got = Seq("<a href=https://u.io/a rel=nofollow>x</a>")
+      .toDF("h").select(HtmlOps.outlinks(col("h").cast("binary")))
+      .head().getSeq[String](0)
+    assert(got == Seq("https://u.io/a"))
+  }
 }

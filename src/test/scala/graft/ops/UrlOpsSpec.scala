@@ -75,4 +75,25 @@ class UrlOpsSpec extends AnyFunSuite {
       ("https://b.com/y", 20L, 1L),
       ("https://b.com/y?page=2", 21L, 1L)))
   }
+
+  test("blockHosts: exact host and parent-domain entries; survivors intact") {
+    val docs = Seq(
+      (1L, "https://ads.tracker.example/a"),   // blocked via parent tracker.example
+      (2L, "https://tracker.example/b"),       // blocked exactly
+      (3L, "https://example.com/keep"),        // 'example' alone is NOT a list entry
+      (4L, "https://deep.sub.ads.tracker.example/c"), // 4-deep parent match
+      (5L, "https://clean.org/x")
+    ).toDF("doc_id", "url")
+    val bl = Seq("tracker.example").toDF("host")
+    val kept = UrlOps.blockHosts(docs, bl).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L))
+  }
+
+  test("blockHosts: equi-join plan — no nested-loop scan of the list per row") {
+    val docs = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    val bl = Seq("b.com").toDF("host")
+    val plan = UrlOps.blockHosts(docs, bl).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast hash join in:\n$plan")
+  }
 }
