@@ -597,6 +597,10 @@ object Bench {
       ivfField = s""","ivf_recall_permille":${if (total == 0) 1000L else hit * 1000L / total}"""
       total
     }
+    // exact-substring pass (dense k-gram ≙ suffix array at fixed k):
+    // the heaviest round-5 op — O(n·k) gram hashing + corpus-wide count
+    queries("substr_spans") = time(graft.ops.ExactSubstr.duplicatedSpans(
+      docsDf.select(col("doc_id"), col("text")), k = 20).count())
     queries("bpe_merges") = time {
       graft.ops.BpeOps.learnMerges(docsDf.select(col("text")), k = 4).length.toLong
     }

@@ -383,6 +383,12 @@ object SparkEntry {
       TextStats.rareTokenStats(docs(s, dir).select(col("doc_id"), t.as("text")))
     }),
 
+    // ---- quantized unigram-LM surprisal (CCNet perplexity tier,
+    // integer-exact via bit-length log2 buckets — TextStats scaladoc).
+    // Docs with zero tokens are out of the LM's domain and drop out.
+    "q_unigram_surprisal" -> ((s, dir) =>
+      TextStats.unigramSurprisal(docs(s, dir).select(col("doc_id"), col("text")))),
+
     // ---- sub-document dedup / repetition (LLM web-pipeline operators):
     // paragraph-granularity cross-corpus dedup (CCNet-style) and
     // within-doc repetition quality signals (Gopher-style). The corpus
@@ -619,6 +625,23 @@ object SparkEntry {
         .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("rank", "left", "right")
     }),
+
+    // ---- exact substring-duplicate spans at threshold k=20 tokens
+    // (ExactSubstr — the dense equivalent of the reference suffix-array
+    // pass; Lee et al. ACL'22). Runs over the dup-bearing corpus so the
+    // planted exact copies yield guaranteed full-document spans on top
+    // of whatever natural shared runs exist; the oracle replays the
+    // identical gram→count→cover→interval-merge pipeline on the gram
+    // STRINGS (the op hashes them — collisions can only differ at
+    // ~n²/2⁶⁴, not at harness scale).
+    "q_substr_spans" -> ((s, dir) =>
+      graft.ops.ExactSubstr.duplicatedSpans(docsWithDups(s, dir), k = 20)
+        .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"))),
+
+    // covered tokens removed (all occurrences), survivors rejoined
+    "q_substr_dedup" -> ((s, dir) =>
+      graft.ops.ExactSubstr.removeDuplicatedSpans(docsWithDups(s, dir), k = 20)),
 
     // -------------------------------------- dedup channels (SURVEY §2.4, §7.0)
     "q_exact_dup_pairs" -> ((s, dir) => {
@@ -1422,6 +1445,21 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS rare_permille
         |FROM n LEFT JOIN r USING (doc_id)""".stripMargin,
 
+    // Quantized unigram surprisal: same bit-length log2 buckets
+    // (length(bin(n)) - 1 is exact integer floor(log2 n) in DuckDB too).
+    "q_unigram_surprisal" ->
+      """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2),
+        |v AS (SELECT tok, CAST(sum(c) AS BIGINT) AS n FROM dt GROUP BY tok),
+        |lv AS (SELECT tok, len(bin(n)) - 1 AS lg_n FROM v),
+        |lt AS (SELECT len(bin(CAST(sum(n) AS BIGINT))) - 1 AS lg_t FROM v)
+        |SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(dt.c * (lg_t - lg_n)) AS BIGINT) AS surprisal_bits,
+        |  CAST(sum(dt.c * (lg_t - lg_n)) * 1000 // sum(dt.c) AS BIGINT) AS mean_millibits
+        |FROM dt JOIN lv USING (tok) CROSS JOIN lt
+        |GROUP BY dt.doc_id""".stripMargin,
+
     "q_para_dup_stats" ->
       s"""WITH $dupDocsSql, ${chunkSql("dd", 15)},
          |c AS (SELECT par, count(*) AS n_occ FROM chunks GROUP BY par)
@@ -1704,6 +1742,41 @@ object SparkEntry {
         |  FROM wf, unnest(range(1, length(w))) AS t(i))
         |SELECT "left", "right", sum(f)::BIGINT AS cnt FROM pairs
         |GROUP BY 1, 2 ORDER BY cnt DESC, "left", "right" LIMIT 100""".stripMargin,
+
+    // ExactSubstr oracles: replay gram → count>=2 → cover →
+    // contiguous-interval merge on the gram STRINGS (exact grouping; the
+    // Spark op groups on xxhash64 of the same grams).
+    "q_substr_spans" ->
+      s"""WITH $dupDocsSql,
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM dd),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(ts[i:i+19], ' ') AS g
+         |        FROM t, unnest(generate_series(1, len(ts) - 19)) AS u(i)),
+         |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos AS s, pos + 19 AS e FROM occ JOIN dup USING (g)),
+         |m AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+         |        PARTITION BY doc_id ORDER BY s, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         |      THEN 1 ELSE 0 END AS ni FROM hits),
+         |isl AS (SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+         |SELECT doc_id, min(s)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    "q_substr_dedup" ->
+      s"""WITH $dupDocsSql,
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM dd),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(ts[i:i+19], ' ') AS g
+         |        FROM t, unnest(generate_series(1, len(ts) - 19)) AS u(i)),
+         |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos AS s, pos + 19 AS e FROM occ JOIN dup USING (g)),
+         |cov AS (SELECT DISTINCT doc_id, p FROM
+         |        (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM hits)),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, ts[i] AS tk
+         |        FROM t, unnest(generate_series(1, len(ts))) AS u(i))
+         |SELECT tok.doc_id,
+         |  coalesce(string_agg(tk, ' ' ORDER BY tok.p) FILTER (WHERE cov.p IS NULL), '') AS cleaned
+         |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         |GROUP BY tok.doc_id""".stripMargin,
 
     // Decontamination oracle: replays the identical tokenize → 8-gram →
     // md5 → distinct-overlap-count pipeline in DuckDB (same single-space

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-duplicate spans at a fixed token threshold k — the
+  * ExactSubstr pass of Lee et al., "Deduplicating Training Data Makes
+  * Language Models Better" (ACL 2022), which the north-star description
+  * names as "a distributed suffix-array pass for exact substring
+  * duplicates".
+  *
+  * Equivalence: a suffix array finds maximal repeated substrings of ANY
+  * length; at a FIXED threshold k (Lee et al. use 50 tokens) "some
+  * duplicated substring of ≥ k tokens covers position i" is EXACTLY
+  * "some k-token gram starting in [i-k+1, i] occurs ≥ 2 times in the
+  * corpus". So the dense every-position k-gram inverted index computes
+  * the same span set the suffix-array pass would emit for threshold k —
+  * no sampling gap (unlike the winnowed-anchor channel, whose guarantee
+  * starts at runs ≥ k+w-1). The price is O(n·k) hashing instead of the
+  * suffix array's O(n log n) — an explicit, disclosed trade: on Spark
+  * the dense index is embarrassingly parallel (explode → count → join),
+  * while a true distributed suffix-array construction (prefix doubling)
+  * is log n global sort rounds of the whole corpus.
+  *
+  * Scale shape:
+  *  - gram rows are narrow: (xxhash64 gid, doc_id, pos) — 24 bytes; the
+  *    gram TEXT never rides a shuffle (hashed in the scan stage).
+  *  - duplicated-gid detection is a map-side-combinable count; the
+  *    occurrence→hot-gid semi-join's right side is the duplicated
+  *    fraction only (AQE broadcasts it when small).
+  *  - span assembly is windowed per doc_id — bounded by document size,
+  *    never corpus-global.
+  *  - grams are recomputed per pass (recompute-over-store, as the
+  *    signature stages) rather than pinned.
+  * xxhash64 gid collisions can only ADD a false duplicate pair
+  * (~n²/2⁶⁴), never lose one — the same accepted risk profile as the
+  * LSH band keys. */
+object ExactSubstr {
+
+  private def toks(textCol: String): Column =
+    filter(split(col(textCol), " "), t => t =!= lit(""))
+
+  /** (doc_id, pos, gid) for every k-gram start position. */
+  private def gramOccurrences(docs: DataFrame, k: Int, idCol: String,
+                              textCol: String): DataFrame =
+    docs
+      .select(col(idCol), toks(textCol).as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("ts")) - k),
+        i => xxhash64(array_join(slice(col("ts"), i + 1, lit(k)), " ")))))
+      .withColumnRenamed("col", "gid")
+
+  /** Merged duplicated-token spans per document: (doc_id, start_tok,
+    * end_tok) with 0-based inclusive token bounds. A position is covered
+    * iff some corpus-duplicated k-gram (≥ 2 occurrences anywhere,
+    * within-doc repeats included) contains it. */
+  def duplicatedSpans(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val occ = gramOccurrences(docs, k, idCol, textCol)
+    val dup = occ.groupBy("gid").agg(count(lit(1)).as("n")).where(col("n") >= 2)
+      .select("gid")
+    val hits = occ.join(dup, Seq("gid"), "left_semi")
+      .select(col(idCol), col("pos").cast("long").as("s"),
+        (col("pos") + k - 1).cast("long").as("e"))
+    // interval merge per doc: a hit opens a NEW island iff it starts
+    // after every previous hit's end; islands = cumsum of new-island
+    // flags; each island folds to (min start, max end)
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val prevMaxE = max(col("e")).over(byPos.rowsBetween(
+      Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_island",
+        when(prevMaxE.isNull || col("s") > prevMaxE + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("s").as("start_tok"), max("e").as("end_tok"))
+      .drop("island")
+  }
+
+  /** Corpus with duplicated spans REMOVED (all occurrences — the
+    * conservative Lee-et-al policy; keeping one canonical copy is a
+    * policy knob deliberately not baked in): tokens at covered
+    * positions drop, survivors rejoin single-spaced. Docs shorter than
+    * k tokens pass through verbatim (normalized to the single-space
+    * token convention). */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, k, idCol, textCol)
+      .groupBy(idCol).agg(collect_list(struct(
+        col("start_tok").as("s"), col("end_tok").as("e"))).as("spans"))
+    docs
+      .select(col(idCol), toks(textCol).as("ts"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), array_join(filter(
+        transform(col("ts"), (t, i) =>
+          when(col("spans").isNotNull && exists(col("spans"),
+            sp => i >= sp("s") && i <= sp("e")), lit(null)).otherwise(t)),
+        t => t.isNotNull), " ").as("cleaned"))
+  }
+}

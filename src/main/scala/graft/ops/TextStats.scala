@@ -355,4 +355,42 @@ object TextStats {
           floor(coalesce(col("n_rare"), lit(0L)) * 1000 / col("n_tokens")))
           .otherwise(lit(0L)).cast("long").as("rare_permille"))
   }
+
+  /** Quantized unigram-LM surprisal per document — the CCNet-style
+    * perplexity tier (Wenzek et al., LREC'20) made integer-exact so the
+    * cross-engine oracle replays it with zero float drift: each token's
+    * surprisal -log2(count/total) is quantized to the integer bucket
+    * `floor(log2(total)) - floor(log2(count))`, computed EXACTLY in both
+    * engines as `length(bin(n)) - 1` (bit-length, no libm). The per-doc
+    * output is the occurrence-weighted sum and its mean in millibits —
+    * high mean = rare-token-heavy text (OCR noise, hash soup, tag soup),
+    * low mean = stopword-heavy boilerplate; CCNet buckets on exactly
+    * this axis (keep the middle, flag both tails).
+    *
+    * Scale shape: occurrences are pre-aggregated to (doc, token, count)
+    * with map-side combine BEFORE the vocab join, so the token-keyed
+    * shuffle carries distinct (doc,token) pairs, not raw occurrences;
+    * the vocab side is types-not-tokens (Zipf-small relative to the
+    * corpus) and AQE broadcast-converts it when it fits. Two token-keyed
+    * shuffles + one id-keyed agg; the 1-row corpus total rides a
+    * broadcast nested-loop join (scalar literal at runtime). Nothing is
+    * driver-side, nothing is all-pairs. */
+  def unigramSurprisal(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val perDocTok = docs.select(col(idCol),
+        explode(filter(tokensCol(col(textCol)), t => t =!= lit(""))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = perDocTok.groupBy("tok").agg(sum("c").as("n"))
+    // floor(log2(n)) == bit_length(n) - 1, exact in Spark and DuckDB
+    val lgVocab = vocab.select(col("tok"), (length(bin(col("n"))) - 1).as("lg_n"))
+    val lgTotal = vocab.agg((length(bin(sum(col("n")))) - 1).as("lg_t"))
+    perDocTok.join(lgVocab, Seq("tok")).crossJoin(lgTotal)
+      .groupBy(col(idCol))
+      .agg(sum("c").cast("long").as("n_tokens"),
+        sum(col("c") * (col("lg_t") - col("lg_n"))).cast("long")
+          .as("surprisal_bits"))
+      .select(col(idCol), col("n_tokens"), col("surprisal_bits"),
+        floor(col("surprisal_bits") * 1000 / col("n_tokens"))
+          .cast("long").as("mean_millibits"))
+  }
 }
