@@ -766,6 +766,15 @@ object SparkEntry {
     "q_clusters" -> ((s, dir) =>
       pipe(s, dir).clusters.select("url", "cluster_id")),
 
+    // canonical-survivor keep policy: one doc per dup cluster survives
+    // (max lexical-diversity score, min url among ties); unclustered docs
+    // survive as their own singleton cluster. The oracle replays the full
+    // recursive-CTE clustering + the same argmax in DuckDB.
+    "q_keep_policy" -> ((s, dir) =>
+      graft.ops.KeepPolicy.survivors(
+        pages(s, dir), pipe(s, dir).clusters.select("url", "cluster_id"),
+        graft.ops.KeepPolicy.diversityScore(col("text")))),
+
     // incremental == cold-run equivalence, ORACLE-CHECKED: dedup 2/3 of
     // the snapshot, then fold the remaining third in through the
     // incremental pass (stored probe index, dirty-only rescan) — the
@@ -1850,6 +1859,26 @@ object SparkEntry {
          |reach(a, b) AS (SELECT u, v FROM sym
          |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u WHERE r.a <> s.v)
          |SELECT a AS url, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+    "q_keep_policy" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |e AS (SELECT url_a AS u, url_b AS v FROM jp WHERE i * 1.0 / u >= ${cfg.jaccardThreshold}
+         |   OR i * 1.0 / mn >= ${cfg.containmentThreshold}),
+         |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         |reach(a, b) AS (SELECT u, v FROM sym
+         |  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u WHERE r.a <> s.v),
+         |comp AS (SELECT a AS url, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+         |m AS (SELECT d.url, comp.cluster_id,
+         |  CAST(floor(1000.0 * len(list_distinct(string_split(d.text, ' '))) / len(string_split(d.text, ' '))) AS BIGINT) AS score
+         |  FROM d LEFT JOIN comp ON d.url = comp.url),
+         |best AS (SELECT cluster_id, max(score) AS score FROM m
+         |  WHERE cluster_id IS NOT NULL GROUP BY cluster_id),
+         |keeper AS (SELECT m.cluster_id, min(m.url) AS keep_url FROM m
+         |  JOIN best ON m.cluster_id = best.cluster_id AND m.score = best.score
+         |  GROUP BY m.cluster_id)
+         |SELECT m.url, coalesce(m.cluster_id, m.url) AS cluster_id,
+         |  CASE WHEN m.cluster_id IS NULL OR m.url = k.keep_url THEN 1 ELSE 0 END AS kept
+         |FROM m LEFT JOIN keeper k ON m.cluster_id = k.cluster_id""".stripMargin,
 
     // two streamed upsert batches folded through the bucket-partitioned
     // delta-log state must land on the same exact components as DuckDB's
