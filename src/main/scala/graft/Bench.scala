@@ -33,7 +33,10 @@ import graft.pipeline.{DedupConfig, DedupPipeline, DedupStages}
  *
  * Headline robustness: `pipeline_full` is the MIN of two measured runs
  * after a warm-up (one noisy multi-tenant window wrote a 3.2×-inflated
- * headline into the round-3 artifact), and the JSON carries a per-stage
+ * headline into the round-3 artifact), plus at most one budget-gated
+ * extra rep when the two reps disagree >2× (dress 19 banked a pair of
+ * BOTH-contended walls; contention only ever ADDS wall, so an extra
+ * sample is always a legitimate min), and the JSON carries a per-stage
  * `stages` object so any future outlier is attributable to a stage from
  * the artifact alone.
  *
@@ -544,7 +547,18 @@ object Bench {
     emit()
     val headlineRuns = scala.collection.mutable.ListBuffer
       .empty[(Double, DedupPipeline.Result, Seq[(String, Double)])]
-    for (rep <- 1 to 2) {
+    // min-of-2 baseline, plus AT MOST ONE extra rep when the two measured
+    // reps disagree >2× — on this multi-tenant box back-to-back reps
+    // measured 63.4 s → 15.9 s and 34.3 s → 6.4 s (foreign-load spikes),
+    // so a 2-rep window can bank a pair of BOTH-contended walls (dress 19
+    // banked 24.5 s where quiet windows measure ~5-6 s). An extra sample
+    // only ever LOWERS the min (contention adds wall, never removes), but
+    // the scaling phase is the round's primary evidence and needs ~700 s
+    // of window — so the extra rep runs only while remaining > 800 s.
+    var rep = 0
+    var contHeadline = true
+    while (contHeadline) {
+      rep += 1
       val run = runPipeline(s, sfPages(s, sfDir))
       headlineRuns += run
       pipelineRuns += run._1
@@ -554,6 +568,9 @@ object Bench {
         .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
       heartbeat(s"headline-rep$rep")
       emit()
+      val walls = headlineRuns.map(_._1)
+      val noisy = walls.max / walls.min > 2.0
+      contHeadline = rep < 2 || (noisy && rep < 3 && remaining > 800.0)
     }
     def docsDf: DataFrame = s.read.parquet(s"$sfDir/documents.parquet")
     queries("vocab_counts") = time(graft.ops.TextStats.vocabCounts(docsDf).count())
