@@ -801,7 +801,6 @@ object SparkEntry {
     // covered by StreamingDedupSpec; here the batches partition the
     // snapshot so the cold oracle applies verbatim.
     "q_streaming_clusters" -> ((s, dir) => {
-      import s.implicits._
       import graft.streaming.StreamingDedup
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft-stream-q").toString
@@ -812,14 +811,23 @@ object SparkEntry {
       val out = StreamingDedup.processBatch(s, pgs.where(id % 2 =!= 0),
           stateDir, cfg, batchId = 1L)
         .clusters.select("url", "cluster_id")
-        // materialize the (duplicate-population-sized) result so the
-        // state dir can be deleted before the caller consumes the frame
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      // materialize the result OUTSIDE the state dir so that dir can be
+      // deleted before the caller consumes the frame — write-and-reread
+      // keeps the driver O(1) (the former `.collect()` held the whole
+      // duplicate population on the driver; round-5 verdict item #5)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-q-out").toString
+      out.write.mode("overwrite").parquet(outDir)
       import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(stateDir)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      out.toDF("url", "cluster_id")
+      def rmrf(dir: String): Unit = {
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rmrf(stateDir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(outDir)))
+      s.read.parquet(outDir)
     }),
 
     // reference-gated verification: lang equality (format gate,

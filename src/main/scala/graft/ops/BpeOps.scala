@@ -66,33 +66,94 @@ object BpeOps {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
-  /** Learn the top-k merges. Returns the ordered merge list; each round
-    * is one pair-count shuffle + a 1-row collect (bounded driver state)
-    * + a checkpointed rewrite of the compact word table. */
+  /** Adjacent-bigram containment test: does `syms` contain (a, b)? */
+  private def hasPair(syms: Column, a: String, b: String): Column = {
+    val n = size(syms)
+    n >= 2 && exists(arrays_zip(
+      slice(syms, lit(1), n - 1).as("l"), slice(syms, lit(2), n - 1).as("r")),
+      p => p("l") === lit(a) && p("r") === lit(b))
+  }
+
+  /** Learn the top-k merges — INCREMENTAL pair-delta rounds (the round-5
+    * verdict's production-k fix): the global (left, right, cnt) table is
+    * maintained ADDITIVELY instead of recounted from the whole word table
+    * every round. After merging (a, b), only words whose symbol array
+    * contains the (a, b) bigram change — each round subtracts those
+    * words' old pair counts, adds their rewritten pair counts, and folds
+    * both deltas into the carried count table. At production merge counts
+    * (32k rounds over a ~10⁸-row word table) every round now touches the
+    * pair-bearing fraction only; equivalence with the full recount is
+    * exact (integer sums, same (cnt desc, left, right) argmax tie-break)
+    * and pinned by BpeOpsSpec against the single-node reference.
+    *
+    * The word table and the count table ride ONE union-schema state
+    * relation (`kind` 0 = word row, 1 = count row) so each round is
+    * exactly two Spark jobs — a 1-row argmax collect + one checkpointed
+    * state rewrite — the same job count as the full-recount form (a
+    * separate count-table checkpoint was a third job per round, pure
+    * fixed cost at harness scale); at scale the round's work is
+    * proportional to the pair-bearing word fraction, not the corpus. */
   def learnMerges(docs: DataFrame, k: Int, textCol: String = "text"): Seq[(String, String)] = {
     require(k >= 0, s"k must be >= 0, got $k")
-    var wf = wordFreqs(docs, textCol)
+    def asState(words: DataFrame, counts: DataFrame): DataFrame =
+      words.select(lit(0).as("kind"), col("syms"), col("freq"),
+        lit(null).cast("string").as("left"), lit(null).cast("string").as("right"),
+        lit(null).cast("long").as("cnt"))
+        .unionByName(counts.select(lit(1).as("kind"),
+          lit(null).cast("array<string>").as("syms"), lit(null).cast("long").as("freq"),
+          col("left"), col("right"), col("cnt")))
+    val wf0 = wordFreqs(docs, textCol)
       .select(toSymbols(col("word")).as("syms"), col("freq"))
-      .localCheckpoint()
+    var state = asState(wf0, pairCounts(wf0)).localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
     while (round < k && !exhausted) {
-      val top = pairCounts(wf)
+      val top = state.where(col("kind") === 1)
         .orderBy(col("cnt").desc, col("left"), col("right"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        val (a, b) = (top(0).getString(3), top(0).getString(4))
         merges += ((a, b))
-        val next = wf.select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
-          .localCheckpoint()
-        wf.unpersist()
-        wf = next
+        val words = state.where(col("kind") === 0).select("syms", "freq")
+        val affected = hasPair(col("syms"), a, b)
+        val affectedOld = words.where(affected)
+        val nextWords = words.select(
+          when(affected, applyMerge(col("syms"), a, b)).otherwise(col("syms")).as("syms"),
+          col("freq"))
+        // delta = rewritten-affected pair rows at +freq, old-affected pair
+        // rows at -freq; unaffected words cancel by never entering either
+        // side. Raw ±freq rows fold with the carried counts in ONE
+        // aggregation (map-side combined) — separate pairCounts() calls
+        // per delta side were two extra shuffles per round.
+        def pairRows(ws: DataFrame, sign: Int): DataFrame = {
+          val n = size(col("syms"))
+          ws.where(n >= 2)
+            .select((col("freq") * sign).as("f"), explode(arrays_zip(
+              slice(col("syms"), lit(1), n - 1).as("l"),
+              slice(col("syms"), lit(2), n - 1).as("r"))).as("p"))
+            .select(col("p.l").as("left"), col("p.r").as("right"), col("f").as("cnt"))
+        }
+        val nextCounts = state.where(col("kind") === 1)
+          .select("left", "right", "cnt")
+          .unionByName(pairRows(affectedOld, -1))
+          .unionByName(pairRows(affectedOld.select(
+            applyMerge(col("syms"), a, b).as("syms"), col("freq")), 1))
+          .groupBy("left", "right").agg(sum("cnt").as("cnt"))
+          .where(col("cnt") > 0)
+        // coalesce: the union otherwise ACCRETES the agg's shuffle
+        // partitions onto the carried word partitions every round (+N
+        // partitions/round = a growing task flood for the per-round jobs)
+        val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        val nextState = asState(nextWords, nextCounts).coalesce(parts)
+          .localCheckpoint() // eager: consumes old state BEFORE unpersist
+        state.unpersist()
+        state = nextState
       }
       round += 1
     }
-    wf.unpersist()
+    state.unpersist()
     merges.result()
   }
 

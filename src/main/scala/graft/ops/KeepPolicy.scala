@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   * Argmax WITHOUT a windowed sort: `row_number() over (partition by
   * cluster)` serializes each cluster's members through one task's sort —
   * a boilerplate mega-cluster (10^6 copies of a cookie banner) becomes a
-  * straggler. Two map-side-combinable aggregations (max score per
-  * cluster, then min id among the maxima) keep hot clusters partial-
-  * aggregated in every scan task; ties are broken by id so the survivor
-  * set is total-order deterministic on any cluster size.
+  * straggler. The TWO AGGREGATIONS (max score per cluster, then min id
+  * among the maxima) are map-side-combinable, so hot clusters stay
+  * partial-aggregated in every scan task; ties are broken by id so the
+  * survivor set is total-order deterministic on any cluster size.
+  * Caveat (round-5 advice): the `clustered ⋈ bestScore` equi-join between
+  * the two aggregations still routes all max-score TIES of a mega-cluster
+  * (identical docs tie) through one task whenever `bestScore` exceeds the
+  * broadcast threshold — salt that join (or pre-filter argmax candidates
+  * map-side) if score-tied mega-clusters ever dominate a corpus.
   *
   * Scale shape: `clusters` holds only dup-cluster MEMBERS (≪ corpus);
   * both aggs run on that table, never on the full corpus, and the final
@@ -57,7 +62,14 @@ object KeepPolicy {
     members.join(keeper, Seq("cluster_id"), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
-        when(col("__keep_id").isNull || col(idCol) === col("__keep_id"), 1L)
+        // kept=1 only for UNclustered docs or the cluster's keeper: a
+        // cluster whose every member has a NULL score yields no keeper
+        // row, and its members must then read kept=0 (mirroring the
+        // oracle's `cluster_id IS NULL OR url = keep_url`) — the former
+        // `__keep_id.isNull` branch marked ALL of them kept=1
+        // (unreachable on corpora where null-text docs cannot form
+        // clusters, but latent; round-5 advice item)
+        when(col("cluster_id").isNull || col(idCol) === col("__keep_id"), 1L)
           .otherwise(0L).as("kept"))
   }
 }

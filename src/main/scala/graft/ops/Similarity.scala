@@ -34,13 +34,15 @@ object Similarity {
     }
   }
 
+  // dot/cosine are native codegen expressions (graft.functions.VectorMath)
+  // with bit-identical arithmetic to the former HOF folds — the HOF chain
+  // (aggregate∘zip_with + two norm folds) was CodegenFallback and dominated
+  // every embedding query's per-row cost (optimization guide §4.1)
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.vectormath.dotProduct(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.vectormath.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 

@@ -138,12 +138,13 @@ object ConnectedComponents {
       case DoubleType  => Ordering.Double.TotalOrdering
       case other => sys.error(s"unsupported CC vertex type: $other")
     }).asInstanceOf[Ordering[Any]]
-    // partition-streamed narrow collect (NOT a one-shot collect()): the
-    // input is a pinned 2-column relation, so the driver holds the boxed
-    // tuple array plus at most ONE partition of Row wrappers at a time
-    import scala.jdk.CollectionConverters._
-    val pairs = canonical.toLocalIterator().asScala
-      .map(r => (r.get(0), r.get(1))).toArray
+    // one-shot bounded collect: the edge count was just verified ≤ the
+    // heap-derived `driverEdgeLimit`, so the Row array is bounded by the
+    // same 10%-of-heap budget the limit encodes. (The former
+    // `toLocalIterator` held only one partition of Rows at a time but
+    // cost ONE SEQUENTIAL JOB PER PARTITION of driver latency — pure
+    // fixed cost on the clusters stage of every pipeline run.)
+    val pairs = canonical.collect().map(r => (r.get(0), r.get(1)))
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x

@@ -208,37 +208,25 @@ object DedupStages {
     * winnowed anchors, and explodes them as a single
     * (channel, bucket_key, doc_id, tag) generator — no intermediate
     * signature arrays ever hit memory or disk. Bucket keys match
-    * `probeTable` bit-for-bit (same xxhash64 packing). */
-  def probeRows(pw: DataFrame, cfg: DedupConfig): DataFrame = {
-    val toks = TextColumns.tokenHashes(col("text"))
-    val base = pw.select(col("doc_id"),
-      TextColumns.shingleHashes(toks, cfg.shingleSize).as("sa"),
-      array_distinct(graft.functions.winnow.winnowAnchors(
-        TextColumns.shingleHashes(toks, cfg.substrWindow), cfg.winnowWindow)).as("anchors"))
-      .select(col("doc_id"), col("anchors"),
-        array_distinct(col("sa")).as("sh"),
-        simhash64(col("sa")).as("sim"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), col("anchors"), col("sim"),
-        lshBandHashes(minhashSignature(col("sh"), cfg.minhashK, cfg.seed),
-          cfg.bands, cfg.rowsPerBand).as("bands"))
-    val bandProbes = transform(col("bands"), (h, i) =>
-      struct(lit("minhash_lsh").as("channel"),
-        xxhash64(lit(0), i, h).as("bucket_key"), lit(0L).as("tag")))
-    val simProbes = array((0 until 4).map(i =>
-      struct(lit("simhash").as("channel"),
-        xxhash64(lit(1), lit(i),
-          shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))).as("bucket_key"),
-        col("sim").as("tag"))): _*)
-    val anchorProbes = transform(col("anchors"), a =>
-      struct(lit("substring").as("channel"),
-        xxhash64(lit(2), a).as("bucket_key"), lit(0L).as("tag")))
-    base
-      .select(col("doc_id"),
-        explode(concat(bandProbes, simProbes, anchorProbes)).as("p"))
+    * `probeTable` bit-for-bit (same xxhash64 packing).
+    *
+    * Round-6: the whole chain is ONE native expression
+    * (graft.functions.ProbeRowsFor). The composed-builtin form planned as
+    * ~3 passes per row — filter pushdown re-expanded the
+    * `size(shingles) > 0` guard (which only ever dropped null-text rows;
+    * `split` never yields an empty array) into a full hash chain inside
+    * the scan Filter, and projection collapse duplicated the token-hash
+    * chain per consumer; lambda-bearing trees are exempt from
+    * common-subexpression elimination, so nothing deduplicated them. See
+    * the ProbeRowsFor scaladoc for the bit-identical arithmetic
+    * contract. */
+  def probeRows(pw: DataFrame, cfg: DedupConfig): DataFrame =
+    pw.where(col("text").isNotNull)
+      .select(col("doc_id"), explode(graft.functions.proberows.probeRowsFor(
+        col("text"), cfg.shingleSize, cfg.substrWindow, cfg.winnowWindow,
+        cfg.minhashK, cfg.bands, cfg.rowsPerBand, cfg.seed)).as("p"))
       .select(col("p.channel").as("channel"), col("p.bucket_key").as("bucket_key"),
         col("doc_id"), col("p.tag").as("tag"))
-  }
 
   // ------------------------------------------------------------ channels
 
@@ -440,8 +428,8 @@ object DedupStages {
     val dropped = counts.where(col("bucket_n") > cfg.bucketCap)
       .select(col("channel"), col("bucket_key"), col("bucket_n"))
 
-    // Attach (bucket_n, center) to every under-cap multi-member probe row
-    // with ONE inner join. `counts` is a materialized leaf, so AQE plans a
+    // Attach (bucket_n, center) to EVERY multi-member probe row with ONE
+    // inner join. `counts` is a materialized leaf, so AQE plans a
     // broadcast-hash join: the raw probe rows are NEVER shuffled or
     // sorted — the fused probe scan streams through the join map-side,
     // exactly like round 1's broadcast semi-join, preserving the
@@ -449,6 +437,12 @@ object DedupStages {
     // (Measured alternatives at 1.2M docs × 16 cores: an unhinted join
     // shuffles 58M probe rows — candidates 104 s → 199 s; a window
     // formulation shuffles AND sorts them twice — efficiency 0.77 → 0.56.)
+    //
+    // Per-branch build-side filters (cold = under-cap, hot = over-cap) so
+    // each branch's bucket_n predicate lives BELOW its join: when a pass
+    // has no over-cap buckets at all — the common case — AQE's empty-
+    // relation propagation prunes the star branch's ENTIRE join including
+    // its probe scan (a filter above a shared join would defeat that).
     val cold = counts.where(col("bucket_n") <= cfg.bucketCap)
     val hot = counts.where(col("bucket_n") > cfg.bucketCap)
     val tagged = probes.join(cold, Seq("channel", "bucket_key"))
@@ -479,24 +473,21 @@ object DedupStages {
     // the full cluster through the center). Reference analog: caps its
     // candidate list but still matches within it
     // (classes/RecordManager.php:1402-1410).
-    //
-    // The hot-key join is SALTED (the north rule's salted-join clause):
-    // each over-cap counts row is exploded into `starSalt` salt replicas
-    // and the probe side routes by hash(doc_id) % starSalt, so when
-    // `counts` ever exceeds the broadcast threshold (10¹²-doc regime) and
-    // this falls back to a shuffle, a degenerate bucket's m probe rows
-    // land on `starSalt` tasks instead of one. Hot rows are few, so the
-    // ×starSalt explode is noise under broadcast.
-    val starSalt = 16
-    val hotSalted = hot.withColumn("salt",
-      explode(sequence(lit(0), lit(starSalt - 1))))
-    val starPairs = probes
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(starSalt)).cast("int"))
-      .join(hotSalted, Seq("channel", "bucket_key", "salt"))
+    // Round-6: the former 16-way salt (explode hot count rows on
+    // hash(doc_id)%16) is dropped — it existed only for the regime where
+    // `counts` outgrows the broadcast threshold and this join falls back
+    // to a shuffle; there AQE's skew-join split (inner equi-join:
+    // oversized stream partitions are split, build rows duplicated)
+    // covers the degenerate-bucket case, and under broadcast — every
+    // measured regime — the salt was pure plan-size cost.
+    val starPairs = probes.join(hot, Seq("channel", "bucket_key"))
       .where(col("doc_id") =!= col("center"))
       .select(col("center").as("id_a"), col("doc_id").as("id_b"), col("channel"))
 
-    val probePairs = cliquePairs.unionByName(starPairs).distinct()
+    // no pre-distinct here: the channel-collecting aggregation below
+    // already dedups (collect_set) — the former `.distinct()` was a full
+    // extra shuffle of the pair rows for an identical result
+    val probePairs = cliquePairs.unionByName(starPairs)
     val withExact =
       if (cfg.exactChannel) probePairs.unionByName(exactCandidates(sigs)) else probePairs
     val pairs = withExact

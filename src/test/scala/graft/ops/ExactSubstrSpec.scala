@@ -83,6 +83,26 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(short(9L) == "just three tokens")
   }
 
+  test("removeDuplicatedSpans is linear on a pathological alternating-dup doc") {
+    // 10k tokens alternating a duplicated k-gram with a unique separator:
+    // thousands of merged spans in ONE doc — the shape that degraded the
+    // former per-token `exists(spans, …)` probe quadratically. The doc is
+    // "D D D u<i> D D D u<i+1> ..." where the 3-token run "D D D" is
+    // corpus-duplicated (appears in every block) and each u<i> is unique.
+    val block = "dup dup dup"
+    val n = 2500 // 2500 blocks × 4 tokens = 10k tokens
+    val text = (0 until n).map(i => s"$block u$i").mkString(" ")
+    val expect = (0 until n).map(i => s"u$i").mkString(" ")
+    val t0 = System.nanoTime()
+    val got = ExactSubstr.removeDuplicatedSpans(
+      Seq((1L, text)).toDF("doc_id", "text"), 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got(1L) == expect)
+    // quadratic probing measured minutes here; linear removal is seconds
+    assert(secs < 60.0, f"pathological doc took $secs%.1f s")
+  }
+
   test("span assembly stays windowed per doc (no corpus-global sort)") {
     val plan = ExactSubstr.duplicatedSpans(corpus.toDF("doc_id", "text"), 3)
       .queryExecution.executedPlan.toString

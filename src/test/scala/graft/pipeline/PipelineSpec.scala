@@ -218,7 +218,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(hotUrls.flatMap(clusters.get).size == 1, "…in ONE cluster")
   }
 
-  test("salted over-cap join: broadcast disabled (forced shuffle fallback) yields identical pairs, salt in plan") {
+  test("over-cap star join: broadcast disabled (forced shuffle fallback) yields identical pairs") {
+    // Round-6: the former 16-way salt on the hot-bucket star join is gone
+    // (AQE's skew-join split covers the shuffle-fallback regime it was
+    // guarding; under broadcast it was pure plan cost) — the surviving
+    // contract is that a forced shuffle fallback changes NO pairs and the
+    // star join stays an equi-join AQE skew handling can split (no
+    // cartesian/nested-loop degeneration).
     val capped = DedupConfig(bucketCap = 10, exactChannel = false)
     val normal = pipelinePairs(capped)
     val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
@@ -230,12 +236,13 @@ class PipelineSpec extends AnyFunSuite {
       val shuffled = r.verifiedPairs.select("url_a", "url_b").collect()
         .map(x => (x.getString(0), x.getString(1))).toSet
       assert(shuffled == normal, "shuffle-fallback candidate generation must not change pairs")
-      // the salt column must be visible in an uncached candidate plan
       val pw = DedupStages.withIds(pagesDf)
       val (cand, _) = DedupStages.candidatesFromProbes(
         DedupStages.probeRows(pw, capped), DedupStages.leanSignatures(pw, capped), capped)
-      assert(cand.queryExecution.optimizedPlan.toString().contains("salt"),
-        "hot-bucket star join must route by the salt column")
+      val physical = cand.queryExecution.executedPlan.toString()
+      assert(!physical.contains("CartesianProduct") &&
+        !physical.contains("BroadcastNestedLoopJoin"),
+        s"star salvage must stay an equi-join under shuffle fallback:\n$physical")
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
