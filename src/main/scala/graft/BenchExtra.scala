@@ -187,7 +187,7 @@ object BenchExtra {
         // delta rounds touch ~1/9 of the pair volume.
         import graft.ops.BpeOps
         val k = args.lift(1).map(_.toInt).getOrElse(10)
-        val words = s.range(200000)
+        val words = s.range(sys.env.getOrElse("SPARK_GRAFT_BPE_WORDS", "200000").toLong)
           .select(md5(col("id").cast("string")).as("text"))
         words.cache().count()
         def fullRecount(docs: DataFrame, k: Int): Seq[(String, String)] = {

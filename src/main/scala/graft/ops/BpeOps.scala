@@ -58,21 +58,21 @@ object BpeOps {
   }
 
   /** One greedy left-to-right merge pass of the pair (a, b) over a symbol
-    * array — the fold replaces every non-overlapping occurrence scanning
-    * left to right, exactly the reference BPE apply step. */
+    * array — every non-overlapping occurrence replaced scanning left to
+    * right, exactly the reference BPE apply step. Round-6: a native
+    * single-pass expression (graft.functions.BpeMergePass) — the former
+    * `aggregate` fold rebuilt its accumulator array per element (O(len²)
+    * copying per word, interpreted), the dominant per-round cost once the
+    * pair recount went incremental. */
   def applyMerge(syms: Column, a: String, b: String): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
+    graft.functions.bpemerge.mergePass(syms, a, b)
 
-  /** Adjacent-bigram containment test: does `syms` contain (a, b)? */
-  private def hasPair(syms: Column, a: String, b: String): Column = {
-    val n = size(syms)
-    n >= 2 && exists(arrays_zip(
-      slice(syms, lit(1), n - 1).as("l"), slice(syms, lit(2), n - 1).as("r")),
-      p => p("l") === lit(a) && p("r") === lit(b))
-  }
+  /** Adjacent-bigram containment test: does `syms` contain (a, b)?
+    * Native primitive scan (graft.functions.BpeContainsPair) — the
+    * composed `exists(arrays_zip(slice…))` form allocated three arrays
+    * per word per evaluation, interpreted. */
+  private def hasPair(syms: Column, a: String, b: String): Column =
+    graft.functions.bpemerge.containsPair(syms, a, b)
 
   /** Learn the top-k merges — INCREMENTAL pair-delta rounds (the round-5
     * verdict's production-k fix): the global (left, right, cnt) table is
@@ -119,9 +119,11 @@ object BpeOps {
         val words = state.where(col("kind") === 0).select("syms", "freq")
         val affected = hasPair(col("syms"), a, b)
         val affectedOld = words.where(affected)
+        // the merge pass is the identity on pair-free words, so the
+        // rewrite needs no `when(affected, …)` guard (one containment
+        // scan fewer per word)
         val nextWords = words.select(
-          when(affected, applyMerge(col("syms"), a, b)).otherwise(col("syms")).as("syms"),
-          col("freq"))
+          applyMerge(col("syms"), a, b).as("syms"), col("freq"))
         // delta = rewritten-affected pair rows at +freq, old-affected pair
         // rows at -freq; unaffected words cancel by never entering either
         // side. Raw ±freq rows fold with the carried counts in ONE

@@ -53,23 +53,31 @@ object ConnectedComponents {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.mkString(",")}")
 
-    // canonical orientation (u > v, "points at smaller"), deduplicated and
-    // EAGERLY pinned before anything counts or collects it: the input plan
-    // (often an expensive uncached pair join, e.g. the SRP dup-pair join in
-    // Similarity.cosineDupClusters) is computed exactly ONCE — the
-    // small-graph decision count, the driver collect, and the distributed
-    // rounds all read the checkpointed blocks, never the raw plan.
-    val canonical = edges
+    // canonical orientation (u > v, "points at smaller"), deduplicated
+    val canonical0 = edges
       .select(col(cols(0)).as("a"), col(cols(1)).as("b"))
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
 
-    if (smallGraphLimit > 0 && canonical.count() <= smallGraphLimit)
-      return driverUnionFind(spark, canonical)
+    // Small-graph probe: ONE bounded action (round-6) — `limit(L+1)` caps
+    // the collected rows at the same heap budget the limit encodes, and a
+    // result of ≤ L rows IS the complete canonical edge set, so the
+    // former eager-checkpoint + count() + collect() (three sequential
+    // driver roundtrips on the clusters stage of EVERY pipeline run, a
+    // direct part of the Amdahl serial term that caps measured N→4N
+    // scaling) collapses to one job on the common path.
+    if (smallGraphLimit > 0) {
+      val probe = canonical0.limit(smallGraphLimit.toInt + 1).collect()
+      if (probe.length <= smallGraphLimit)
+        return driverUnionFind(spark, canonical0.schema.fields(0).dataType, probe)
+    }
 
-    var e = canonical
+    // distributed regime: pin the canonical set before iterating (the
+    // probe above re-computed the input plan once; that extra pass only
+    // exists on graphs past the driver limit, where the iteration cost
+    // dwarfs it)
+    var e = canonical0.localCheckpoint(true)
 
     var converged = false
     var iter = 0
@@ -127,9 +135,9 @@ object ConnectedComponents {
     * ConnectedComponentsSpec). Type-generic because callers pass string
     * urls (text pipeline) or long vec_ids (embedding pipeline). */
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
-                              canonical: DataFrame): DataFrame = {
+                              dt: org.apache.spark.sql.types.DataType,
+                              collected: Array[org.apache.spark.sql.Row]): DataFrame = {
     import org.apache.spark.sql.types._
-    val dt = canonical.schema.fields(0).dataType
     val ord: Ordering[Any] = (dt match {
       case StringType  => Ordering.String
       case LongType    => Ordering.Long
@@ -138,13 +146,7 @@ object ConnectedComponents {
       case DoubleType  => Ordering.Double.TotalOrdering
       case other => sys.error(s"unsupported CC vertex type: $other")
     }).asInstanceOf[Ordering[Any]]
-    // one-shot bounded collect: the edge count was just verified ≤ the
-    // heap-derived `driverEdgeLimit`, so the Row array is bounded by the
-    // same 10%-of-heap budget the limit encodes. (The former
-    // `toLocalIterator` held only one partition of Rows at a time but
-    // cost ONE SEQUENTIAL JOB PER PARTITION of driver latency — pure
-    // fixed cost on the clusters stage of every pipeline run.)
-    val pairs = canonical.collect().map(r => (r.get(0), r.get(1)))
+    val pairs = collected.map(r => (r.get(0), r.get(1)))
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
