@@ -194,26 +194,48 @@ object Similarity {
     * no RNG), so the same data always yields the same cells. */
   private[graft] def fitCentroids(sample: Array[Array[Double]], k: Int,
                                   iters: Int): Seq[Seq[Double]] = {
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    // Squared norms are CACHED per vector/centroid (round-6): the former
+    // cos() recomputed both operands' norms inside every call — 3× the
+    // flops of the dot product alone, across O(k²·n) maximin-init pairs
+    // and O(k·n) pairs per Lloyd round. Arithmetic is bit-identical: the
+    // old single loop accumulated d, na, nb in three INDEPENDENT chains
+    // over the same index order, so hoisting na/nb into one-time sq()
+    // sums and keeping `d / math.sqrt(na * nb)` reproduces the exact
+    // same doubles (same summation order per accumulator), hence the
+    // exact same centroids, cells and oracle rows.
+    def sq(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s
+    }
+    def cosN(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) -1.0 else d / math.sqrt(na * nb)
     }
     val n = sample.length
     val kk = math.min(k, n)
+    val sampleSq = sample.map(sq)
     // maximin init: greedily add the point with the smallest max-cosine
     // (= farthest) to the chosen set; ties -> lowest sample index
     val cents = scala.collection.mutable.ArrayBuffer(sample(0).clone())
+    val centSq = scala.collection.mutable.ArrayBuffer(sampleSq(0))
     while (cents.size < kk) {
       var bestIdx = -1; var bestScore = Double.MaxValue
       var i = 0
       while (i < n) {
         var nearest = -1.0
-        cents.foreach(c => { val s = cos(sample(i), c); if (s > nearest) nearest = s })
+        var c = 0
+        while (c < cents.size) {
+          val s = cosN(sample(i), sampleSq(i), cents(c), centSq(c))
+          if (s > nearest) nearest = s
+          c += 1
+        }
         if (nearest < bestScore) { bestScore = nearest; bestIdx = i }
         i += 1
       }
       cents += sample(bestIdx).clone()
+      centSq += sampleSq(bestIdx)
     }
     val dim = sample(0).length
     var it = 0
@@ -225,7 +247,7 @@ object Similarity {
         var best = 0; var bestS = -2.0
         var c = 0
         while (c < kk) {
-          val s = cos(sample(i), cents(c))
+          val s = cosN(sample(i), sampleSq(i), cents(c), centSq(c))
           if (s > bestS) { bestS = s; best = c }
           c += 1
         }
@@ -241,7 +263,8 @@ object Similarity {
           var d = 0
           while (d < dim) { m(d) = sums(c)(d) / counts(c); d += 1 }
           cents(c) = m
-        } // empty cell: keep previous centroid
+          centSq(c) = sq(m)
+        } // empty cell: keep previous centroid (and its cached norm)
         c += 1
       }
       it += 1

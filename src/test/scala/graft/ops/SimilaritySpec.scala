@@ -203,4 +203,76 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.semDedup(empty).count() == 0)
     assert(Similarity.semDedupPairs(empty).count() == 0)
   }
+
+  test("fitCentroids norm caching is bit-identical to the per-call-norm form") {
+    // Round-6 perf change: fitCentroids caches squared norms instead of
+    // recomputing both operands' norms inside every cosine call. The
+    // centroids feed typedLit cell assignment whose oracle rows are
+    // hash-compared, so the refactor must reproduce EXACT doubles — this
+    // pins it against the round-5 formulation (per-call fused d/na/nb
+    // loop), re-implemented here verbatim.
+    def fitRef(sample: Array[Array[Double]], k: Int, iters: Int): Seq[Seq[Double]] = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0.0 || nb == 0.0) -1.0 else d / math.sqrt(na * nb)
+      }
+      val n = sample.length
+      val kk = math.min(k, n)
+      val cents = scala.collection.mutable.ArrayBuffer(sample(0).clone())
+      while (cents.size < kk) {
+        var bestIdx = -1; var bestScore = Double.MaxValue
+        var i = 0
+        while (i < n) {
+          var nearest = -1.0
+          cents.foreach(c => { val s = cos(sample(i), c); if (s > nearest) nearest = s })
+          if (nearest < bestScore) { bestScore = nearest; bestIdx = i }
+          i += 1
+        }
+        cents += sample(bestIdx).clone()
+      }
+      val dim = sample(0).length
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Long](kk)
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestS = -2.0
+          var c = 0
+          while (c < kk) {
+            val s = cos(sample(i), cents(c))
+            if (s > bestS) { bestS = s; best = c }
+            c += 1
+          }
+          var d = 0
+          while (d < dim) { sums(best)(d) += sample(i)(d); d += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var c = 0
+        while (c < kk) {
+          if (counts(c) > 0) {
+            val m = new Array[Double](dim)
+            var d = 0
+            while (d < dim) { m(d) = sums(c)(d) / counts(c); d += 1 }
+            cents(c) = m
+          }
+          c += 1
+        }
+        it += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+    val rnd = new scala.util.Random(17)
+    // includes a zero vector (the na==0 guard) and duplicate rows (ties);
+    // zero vector NOT first — the seed centroid must be non-degenerate
+    val sample = Array.fill(100)(Array.fill(24)(rnd.nextDouble() * 2 - 1)) ++
+      Array(new Array[Double](24)) ++
+      Array.fill(100)(Array.fill(24)(rnd.nextDouble() * 2 - 1)) ++
+      Array.fill(8)(Array.fill(24)(0.5))
+    val got = Similarity.fitCentroids(sample, k = 16, iters = 10)
+    val want = fitRef(sample, k = 16, iters = 10)
+    assert(got == want) // exact Seq[Seq[Double]] equality, no tolerance
+  }
 }
