@@ -98,6 +98,10 @@ object BenchExtra {
 
     /** Plan-dump surfaces: DataFrames (no driver-side loops) per query. */
     def planFrames: Seq[(String, () => DataFrame)] = Seq(
+      "exact_candidates" -> (() => {
+        val p = DedupStages.signatures(DedupStages.pagesFromDocuments(docsDf), DedupConfig())
+        DedupStages.exactCandidates(p)
+      }),
       "knn_brute" -> (() => graft.ops.Similarity.knnBrute(embDf)),
       "knn_ivf" -> (() => graft.ops.Similarity.knnIvf(embDf)),
       "semdedup_pairs" -> (() => graft.ops.Similarity.semDedupPairs(
