@@ -130,6 +130,15 @@ object BenchExtra {
       }))
 
     mode match {
+      case "stage" =>
+        // stage a deterministic synthetic corpus as parquet (the input
+        // shape the scaling legs read) for Profile's serial mode
+        val dir = args(1)
+        val n = args.lift(2).map(_.toLong).getOrElse(350000L)
+        graft.fixtures.SyntheticPages.generate(s, n)
+          .write.mode("overwrite").parquet(dir)
+        println(s"staged $n docs -> $dir")
+
       case "explain" =>
         val outDir = args(1)
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
@@ -140,6 +149,25 @@ object BenchExtra {
             java.nio.file.Paths.get(outDir, s"$name.txt"), plan)
           println(s"wrote $outDir/$name.txt")
         }
+
+      case "pipelineplan" =>
+        // executed (AQE-final) plans of the pipeline stages after a real
+        // run — shows ReusedExchange / cache hits that the pre-execution
+        // dumps cannot (plan-reuse questions, e.g. whether the verify
+        // side relation is computed once or twice)
+        val r = graft.pipeline.DedupPipeline.run(s,
+          DedupStages.pagesFromDocuments(docsDf), DedupConfig())
+        r.merged.count()
+        val outDir = args.lift(1).getOrElse("/tmp/graft-pipelineplan")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        for ((name, df) <- Seq("candidate_pairs" -> r.candidatePairs,
+            "verified_pairs" -> r.verifiedPairs, "merged" -> r.merged)) {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(outDir, s"$name.txt"),
+            df.queryExecution.executedPlan.toString)
+          println(s"wrote $outDir/$name.txt")
+        }
+        r.signatures.unpersist(); r.verifiedPairs.unpersist(); r.candidatePairs.unpersist()
 
       case "pipeline" =>
         val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]()

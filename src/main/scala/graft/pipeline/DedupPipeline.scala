@@ -515,6 +515,22 @@ object DedupStages {
     * shingling or the set intersect. Requires a `content_hash` column on
     * the side relation; without one, exact pairs flow through the full
     * path unchanged. */
+  /** Participant-restricted verify side: the distinct pair participants
+    * (weak pairs contribute both ids, exact-channel pairs their a side
+    * only) semi-joined below the shingle projection, so ONLY participants
+    * pay the shingle recompute. Package-private so the plan-discipline
+    * test can assert the semi-join on the exact subtree `verified` pins. */
+  private[graft] def participantSide(weakPairs: DataFrame, exactPairs: DataFrame,
+                                     sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val participants = weakPairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .unionByName(exactPairs.select(col("id_a").as("doc_id")))
+      .distinct()
+    val sh = TextColumns.shingleSet(col("text"), cfg.shingleSize)
+    sigs.join(participants, Seq("doc_id"), "left_semi")
+      .withColumn("shingles", sh).withColumn("n_shingles", size(col("shingles")))
+  }
+
   def verified(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     // the fast path derives everything from the a side, so it cannot
     // evaluate the Levenshtein decision-list gates (identical TEXT does
@@ -537,17 +553,10 @@ object DedupStages {
     // side relation, twice (a and b sides), silently re-paying the whole
     // signature-scan cost in the verify stage. Exact-channel pairs
     // contribute only their a side (the fast path reads one side).
+    val builtShingles = !sigs.columns.contains("shingles")
     val withShingles =
-      if (sigs.columns.contains("shingles")) sigs
-      else {
-        val participants = weakPairs
-          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-          .unionByName(exactPairs.select(col("id_a").as("doc_id")))
-          .distinct()
-        val sh = TextColumns.shingleSet(col("text"), cfg.shingleSize)
-        sigs.join(participants, Seq("doc_id"), "left_semi")
-          .withColumn("shingles", sh).withColumn("n_shingles", size(col("shingles")))
-      }
+      if (!builtShingles) sigs
+      else participantSide(weakPairs, exactPairs, sigs, cfg)
     val sideCols = Seq("url", "source", "lang") ++
       (if (fastable) Seq("content_hash") else Nil)
     // Levenshtein decision-list gates (cfg.titleLevMax/authorLevMax): the
@@ -559,9 +568,23 @@ object DedupStages {
     val gateCols =
       (if (titleGate) Seq(graft.functions.normalization.normalizeText(col("text")).as("nrm")) else Nil) ++
       (if (authorGate) Seq(graft.functions.normalization.normalizeText(col("author")).as("anrm")) else Nil)
-    val side = withShingles.select(
+    val side0 = withShingles.select(
       ((col("doc_id").as("jid") +: sideCols.map(col)) ++ gateCols) :+
         col("shingles") :+ col("n_shingles"): _*)
+    // Round-6: the side relation is consumed up to three times (weak a,
+    // weak b, exact fast-path a), and the planner's exchange reuse did
+    // NOT deduplicate the copies — the executed sf0.1 plan showed the
+    // full participant-semi-join → text-join → shingle-projection
+    // subtree planned per consumer (twin query stages, 0 ReusedExchange;
+    // at 350k docs the twins were 2 × ~33 core-s of an ~218 core-s
+    // 8-core run). A lazy localCheckpoint pins the participant-scale
+    // rows ONCE — bounded by the participant fraction (the same budget
+    // the semi-join already enforces), the exact pattern `counts` uses
+    // in candidatesFromProbes. Only the lean path pins: a side that
+    // arrives WITH shingle arrays (full-signature callers) would pin
+    // corpus-wide arrays — the anti-scaling materialization round 5
+    // removed.
+    val side = if (builtShingles) side0.localCheckpoint(false) else side0
     val a = side.toDF(side.columns.map(_ + "_a"): _*)
     val b = side.toDF(side.columns.map(_ + "_b"): _*)
 

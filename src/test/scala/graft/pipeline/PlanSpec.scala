@@ -36,16 +36,32 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("verify stage shingles only pair participants: semi-join sits below the shingle projection") {
+    import org.apache.spark.sql.functions.{array_contains, col, lit}
     val pw = DedupStages.withIds(parquetPages).cache()
     val sigs = DedupStages.leanSignatures(pw, cfg)
     val (pairs, _) = DedupStages.candidatesFromProbes(
       DedupStages.probeRows(pw, cfg), sigs, cfg)
     val side = sigs.select("doc_id", "url", "source", "lang")
       .join(pw.select("doc_id", "text"), "doc_id")
-    val ver = DedupStages.verified(pairs.cache(), side, cfg)
-    val plan = ver.queryExecution.optimizedPlan.toString()
-    assert(plan.contains("LeftSemi"),
+    val cand = pairs.cache()
+    // the subtree `verified` pins (round-6): participant semi-join BELOW
+    // the shingle projection — only participants pay the recompute
+    val sidePlan = DedupStages.participantSide(
+        cand.where(!array_contains(col("channels"), "exact")),
+        cand.where(array_contains(col("channels"), "exact")), side, cfg)
+      .queryExecution.optimizedPlan.toString()
+    assert(sidePlan.contains("LeftSemi"),
       "pair-participant semi-join missing — the verify stage would re-shingle the full corpus")
+    assert(sidePlan.contains("shingle_hashes"),
+      "shingle projection missing from the participant side subtree")
+    // and the verify output consumes the side as ONE pinned relation:
+    // no shingle recompute per consumer (weak a / weak b / exact fast
+    // path — the pre-pin plan ran the full semi-join + text-join +
+    // shingle subtree once PER consumer, 0 ReusedExchange)
+    val verPlan = DedupStages.verified(cand, side, cfg)
+      .queryExecution.optimizedPlan.toString()
+    assert(!verPlan.contains("shingle_hashes"),
+      "verify side recomputed per consumer — the pinned side relation leaked a shingle recompute")
   }
 
   test("paragraph dup stats shuffle hashes, never paragraph text") {
