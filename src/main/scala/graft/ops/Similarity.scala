@@ -148,9 +148,15 @@ object Similarity {
     * `semDedupPairs`). `coded` must be pinned/cached by the caller: it is
     * consumed by the count agg and both join sides. */
   private def bucketedPairs(coded: DataFrame, bucketCap: Int): DataFrame = {
+    // counts is consumed by FOUR join sides (small a/b, big rep/others);
+    // planner exchange reuse is not guaranteed to deduplicate the agg per
+    // consumer (measured on the verify side relation: zero ReusedExchange
+    // across identical subtrees), so the narrow multi-member-bucket rows
+    // are pinned once — the same pattern candidatesFromProbes uses
     val counts = coded.groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))
       .where(col("n") >= 2)
+      .localCheckpoint(false)
     val kept = coded.join(counts, Seq("band_id", "band_key"))
     def side(pred: Column, idAs: String) =
       kept.where(pred).select(col("band_id").as(s"bi_$idAs"),
@@ -435,17 +441,30 @@ object Similarity {
     * with a zero-miss oracle. */
   def knnLsh(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
              bands: Int = 64, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    // Round-6: the former shape consumed the un-pinned coded table twice
+    // (query filter + corpus join side), recomputing the SRP projection —
+    // bands × bitsPerBand dots per row, the dominant per-row cost — once
+    // per consumer, and scored a cosine per band COLLISION before
+    // deduplicating. Now the NARROW codes (vec_id, band_id, band_key) are
+    // pinned once (same shape as srpCandidates — pinning the full coded
+    // rows would materialize every vector ×bands), candidate (query,
+    // neighbor) pairs are deduplicated on narrow rows, and the vectors
+    // join back once per side for ONE cosine per distinct pair. A pair's
+    // sim is identical in every colliding band, so max-over-collisions ≡
+    // score-after-dedup: identical output rows.
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val coded = srpBands(emb, bands, bitsPerBand, seed)
-    val queries = coded.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("band_id"), col("band_key"))
-    val scored = coded.join(queries, Seq("band_id", "band_key"))
+      .select("vec_id", "band_id", "band_key").localCheckpoint(false)
+    val qcodes = coded.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band_id"), col("band_key"))
+    val scored = coded.join(qcodes, Seq("band_id", "band_key"))
       .where(col("vec_id") =!= col("query_id"))
-      // score per collision, dedupe multi-band repeats on the narrow
-      // (ids, sim) rows — never shuffles the vectors themselves
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+      .join(base.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(base.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("v")).as("sim"))
-      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
