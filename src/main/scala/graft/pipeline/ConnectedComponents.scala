@@ -95,6 +95,13 @@ object ConnectedComponents {
       val large = sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
+        // consumed twice below (small-star min agg + join back); unpinned,
+        // the large-star join re-ran once per consumer every round —
+        // planner exchange reuse is not guaranteed to deduplicate the
+        // copies (measured zero ReusedExchange on identical verify-stage
+        // subtrees). Lazy pin, edge-scale per round — the same magnitude
+        // the small-star checkpoint below already materializes.
+        .localCheckpoint(false)
 
       // small-star: for every node u, connect u and its smaller
       // neighbors to the minimum of them
