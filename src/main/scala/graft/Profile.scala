@@ -59,6 +59,7 @@ object Profile {
       val taskMs = new java.util.concurrent.atomic.AtomicLong(0) // executorRunTime
       val cpuMs = new java.util.concurrent.atomic.AtomicLong(0)  // executorCpuTime
       val stageTask = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
+      val stageShuffle = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobs.put(j.jobId, (j.time, -1L,
@@ -73,13 +74,25 @@ object Profile {
             cpuMs.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
             stageTask.merge(t.stageId, (t.taskMetrics.executorRunTime, 1, ""),
               (a, b) => (a._1 + b._1, a._2 + b._2, a._3))
+            stageShuffle.merge(t.stageId,
+              (t.taskMetrics.shuffleWriteMetrics.bytesWritten,
+               t.taskMetrics.shuffleReadMetrics.totalBytesRead,
+               t.taskMetrics.inputMetrics.bytesRead),
+              (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
           }
-        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          stageTask.merge(sc.stageInfo.stageId, (0L, 0, sc.stageInfo.name),
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          // name the stage by its SQL-operator scopes (the generic AQE
+          // callsite tells us nothing about which operator ran): the RDD
+          // scope chain carries WholeStageCodegen/Exchange/Generate names
+          val scopes = sc.stageInfo.rddInfos
+            .flatMap(_.scope.map(_.name)).distinct.mkString(" | ")
+          val label = if (scopes.nonEmpty) scopes else sc.stageInfo.name
+          stageTask.merge(sc.stageInfo.stageId, (0L, 0, label),
             (a, b) => (a._1, a._2, if (b._3.nonEmpty) b._3 else a._3))
+        }
       })
       for (i <- 1 to 3) {
-        jobs.clear(); stageTask.clear(); taskMs.set(0); cpuMs.set(0)
+        jobs.clear(); stageTask.clear(); stageShuffle.clear(); taskMs.set(0); cpuMs.set(0)
         val t0 = System.nanoTime()
         val r = DedupPipeline.run(spark, spark.read.parquet(dir), cfg)
         r.merged.count()
@@ -99,13 +112,24 @@ object Profile {
         val cpuUtil = cpuMs.get / 1e3 / (cpus * wall)
         println(f"[serial] run=$i wall=$wall%.2fs jobs=${done.size} jobSum=$jobSum%.2fs covered=$covered%.2fs gap=${wall - covered}%.2fs taskUtil=$util%.2f cpuUtil=$cpuUtil%.2f")
         if (i == 3) {
+          // executed (AQE-final) plans of the materialized stage heads —
+          // the only view that shows real exchanges/reuse at this scale
+          val planDir = "/tmp/graft-serial-plans"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(planDir))
+          for ((nm, df) <- Seq("candidate_pairs" -> r.candidatePairs,
+              "verified_pairs" -> r.verifiedPairs, "merged" -> r.merged))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(planDir, s"$nm.txt"),
+              df.queryExecution.executedPlan.toString)
           done.foreach { case (s, e, d) =>
             println(f"[serial-job] ${(e - s) / 1e3}%7.2fs  ${d.take(90)}")
           }
           import scala.jdk.CollectionConverters._
           stageTask.asScala.toSeq.sortBy(-_._2._1).take(15).foreach {
             case (id, (ms, nt, name)) =>
-              println(f"[serial-stage] $id%4d ${ms / 1e3}%8.2f core-s $nt%4d tasks  ${name.take(70)}")
+              val (sw, sr, in) = Option(stageShuffle.get(id)).getOrElse((0L, 0L, 0L))
+              println(f"[serial-stage] $id%4d ${ms / 1e3}%8.2f core-s $nt%4d tasks " +
+                f"sw=${sw / 1e6}%.0fMB sr=${sr / 1e6}%.0fMB in=${in / 1e6}%.0fMB  ${name.take(300)}")
           }
         }
       }

@@ -67,7 +67,25 @@ final case class DedupConfig(
       * length of the first side is STRICTLY > the bound (the reference
       * accepts ==bound; it runs 20). */
     authorLevMax: Option[Double] = None,
-    seed: Long = 42L) {
+    seed: Long = 42L,
+    /** Broadcast the multi-member-bucket `counts` side of the candidate
+      * tagging joins (candidatesFromProbes). The counts relation is one
+      * short row per multi-member bucket — a few MB at every measured
+      * corpus size (5k–1.8M docs) — but its Catalyst size ESTIMATE
+      * derives from the exploded probe scan underneath, so without a
+      * hint the planner picks SortMergeJoin and ships the full probe-row
+      * stream through two exchanges (measured at 350k docs × 8 cores:
+      * 253+275 MB shuffle writes, a redundant third probe scan for the
+      * star branch, steady wall 30.6 s vs 22.7 s hinted). AQE cannot
+      * save the writes: both SMJ shuffle stages materialize in parallel
+      * BEFORE the runtime broadcast conversion, and the star branch's
+      * empty-relation pruning only fires when the build side is a
+      * broadcast stage. Set false at corpus scales where the
+      * multi-member-bucket table itself outgrows executor memory
+      * (~10⁸+ hot buckets): the joins then fall back to the planner's
+      * shuffle strategies, whose probe-row exchange doubles as the
+      * downstream per-bucket aggregation's partitioning. */
+    countsBroadcast: Boolean = true) {
 
   require(minhashK == bands * rowsPerBand, "minhashK must equal bands*rowsPerBand")
 
@@ -429,23 +447,34 @@ object DedupStages {
       .select(col("channel"), col("bucket_key"), col("bucket_n"))
 
     // Attach (bucket_n, center) to EVERY multi-member probe row with ONE
-    // inner join. `counts` is a materialized leaf, so AQE plans a
-    // broadcast-hash join: the raw probe rows are NEVER shuffled or
-    // sorted — the fused probe scan streams through the join map-side,
-    // exactly like round 1's broadcast semi-join, preserving the
-    // CPU-bound (→ core-scalable) profile of candidate generation.
-    // (Measured alternatives at 1.2M docs × 16 cores: an unhinted join
-    // shuffles 58M probe rows — candidates 104 s → 199 s; a window
-    // formulation shuffles AND sorts them twice — efficiency 0.77 → 0.56.)
+    // inner join, EXPLICITLY broadcast-hinted (cfg.countsBroadcast, on by
+    // default — see its scaladoc for the measured evidence and the scale
+    // bound): the raw probe rows are never shuffled or sorted — the fused
+    // probe scan streams through the join map-side, preserving the
+    // CPU-bound (→ core-scalable) profile of candidate generation. The
+    // hint is load-bearing: the checkpointed leaf's size ESTIMATE comes
+    // from the exploded probe scan underneath, so the unhinted planner
+    // picks SortMergeJoin and BOTH smj shuffle stages materialize (full
+    // probe-row exchanges) before AQE's runtime broadcast conversion can
+    // fire — measured at 350k docs × 8 cores: 30.6 s → 22.7 s steady
+    // wall, 216 → 150 core-s, two ~250 MB probe shuffles removed.
+    // (Earlier measured alternatives at 1.2M docs × 16 cores: an
+    // unhinted join shuffles 58M probe rows — candidates 104 s → 199 s;
+    // a window formulation shuffles AND sorts them twice — efficiency
+    // 0.77 → 0.56.)
     //
     // Per-branch build-side filters (cold = under-cap, hot = over-cap) so
     // each branch's bucket_n predicate lives BELOW its join: when a pass
     // has no over-cap buckets at all — the common case — AQE's empty-
     // relation propagation prunes the star branch's ENTIRE join including
-    // its probe scan (a filter above a shared join would defeat that).
+    // its probe scan (a filter above a shared join would defeat that;
+    // the pruning also needs the broadcast build side — parallel smj
+    // stage materialization submits the probe scan regardless).
     val cold = counts.where(col("bucket_n") <= cfg.bucketCap)
     val hot = counts.where(col("bucket_n") > cfg.bucketCap)
-    val tagged = probes.join(cold, Seq("channel", "bucket_key"))
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (cfg.countsBroadcast) broadcast(df) else df
+    val tagged = probes.join(maybeBcast(cold), Seq("channel", "bucket_key"))
 
     // normal buckets: bounded member collect + in-task clique expansion
     // (partial ObjectHashAggregate combines map-side, so only capped
@@ -480,7 +509,7 @@ object DedupStages {
     // oversized stream partitions are split, build rows duplicated)
     // covers the degenerate-bucket case, and under broadcast — every
     // measured regime — the salt was pure plan-size cost.
-    val starPairs = probes.join(hot, Seq("channel", "bucket_key"))
+    val starPairs = probes.join(maybeBcast(hot), Seq("channel", "bucket_key"))
       .where(col("doc_id") =!= col("center"))
       .select(col("center").as("id_a"), col("doc_id").as("id_b"), col("channel"))
 

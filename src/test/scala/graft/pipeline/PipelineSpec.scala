@@ -224,9 +224,12 @@ class PipelineSpec extends AnyFunSuite {
     // guarding; under broadcast it was pure plan cost) — the surviving
     // contract is that a forced shuffle fallback changes NO pairs and the
     // star join stays an equi-join AQE skew handling can split (no
-    // cartesian/nested-loop degeneration).
-    val capped = DedupConfig(bucketCap = 10, exactChannel = false)
-    val normal = pipelinePairs(capped)
+    // cartesian/nested-loop degeneration). countsBroadcast = false is the
+    // 100 TB escape hatch (the explicit hint would override the disabled
+    // thresholds, so the flag is what actually exercises this regime).
+    val capped = DedupConfig(bucketCap = 10, exactChannel = false,
+      countsBroadcast = false)
+    val normal = pipelinePairs(capped.copy(countsBroadcast = true))
     val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val saved = confs.map(k => k -> spark.conf.getOption(k))
@@ -243,6 +246,9 @@ class PipelineSpec extends AnyFunSuite {
       assert(!physical.contains("CartesianProduct") &&
         !physical.contains("BroadcastNestedLoopJoin"),
         s"star salvage must stay an equi-join under shuffle fallback:\n$physical")
+      assert(!physical.contains("BroadcastHashJoin"),
+        "countsBroadcast=false + disabled thresholds must actually reach " +
+          s"the shuffle-join regime (the regime under test):\n$physical")
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }

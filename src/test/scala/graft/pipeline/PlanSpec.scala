@@ -35,6 +35,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop join in candidate plan")
   }
 
+  test("candidate tagging joins broadcast the counts side (probe rows never smj-shuffled)") {
+    // The countsBroadcast hint is load-bearing: the checkpointed counts
+    // leaf's size estimate derives from the exploded probe scan, so the
+    // unhinted planner picks SortMergeJoin and ships the raw probe-row
+    // stream through two full exchanges (measured at 350k docs: two
+    // ~250 MB shuffle writes and a redundant third probe scan; AQE's
+    // runtime broadcast conversion fires only AFTER both smj shuffle
+    // stages have materialized, so it cannot save the writes). This
+    // asserts the STATIC plan already carries the broadcast: the tagging
+    // joins on (channel, bucket_key) must never be shuffle joins. The
+    // CappedCollect partial-buffer exchange also keys on (channel,
+    // bucket_key) and is legitimate, hence the join-node-level match.
+    val pw = DedupStages.withIds(parquetPages)
+    val (pairs, _) = DedupStages.candidatesFromProbes(
+      DedupStages.probeRows(pw, cfg), DedupStages.leanSignatures(pw, cfg), cfg)
+    val plan = pairs.queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin [channel") &&
+      !plan.contains("ShuffledHashJoin [channel"),
+      s"counts tagging joins must be broadcast, not shuffle joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a BroadcastHashJoin for the counts tagging join:\n$plan")
+  }
+
   test("verify stage shingles only pair participants: semi-join sits below the shingle projection") {
     import org.apache.spark.sql.functions.{array_contains, col, lit}
     val pw = DedupStages.withIds(parquetPages).cache()
