@@ -97,6 +97,18 @@ object Profile {
         val r = DedupPipeline.run(spark, spark.read.parquet(dir), cfg)
         r.merged.count()
         val wall = (System.nanoTime() - t0) / 1e9
+        // dump executed plans BEFORE unpersist: dropping the caches makes a
+        // later queryExecution re-plan without InMemoryRelation substitution
+        // and the dump would misleadingly show stage subtrees inlined
+        if (i == 3) {
+          val planDir = "/tmp/graft-serial-plans"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(planDir))
+          for ((nm, df) <- Seq("candidate_pairs" -> r.candidatePairs,
+              "verified_pairs" -> r.verifiedPairs, "merged" -> r.merged))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(planDir, s"$nm.txt"),
+              df.queryExecution.executedPlan.toString)
+        }
         r.signatures.unpersist(); r.verifiedPairs.unpersist(); r.candidatePairs.unpersist()
         import scala.jdk.CollectionConverters._
         val done = jobs.asScala.values.filter(_._2 > 0).toSeq.sortBy(_._1)
@@ -112,15 +124,6 @@ object Profile {
         val cpuUtil = cpuMs.get / 1e3 / (cpus * wall)
         println(f"[serial] run=$i wall=$wall%.2fs jobs=${done.size} jobSum=$jobSum%.2fs covered=$covered%.2fs gap=${wall - covered}%.2fs taskUtil=$util%.2f cpuUtil=$cpuUtil%.2f")
         if (i == 3) {
-          // executed (AQE-final) plans of the materialized stage heads —
-          // the only view that shows real exchanges/reuse at this scale
-          val planDir = "/tmp/graft-serial-plans"
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(planDir))
-          for ((nm, df) <- Seq("candidate_pairs" -> r.candidatePairs,
-              "verified_pairs" -> r.verifiedPairs, "merged" -> r.merged))
-            java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(planDir, s"$nm.txt"),
-              df.queryExecution.executedPlan.toString)
           done.foreach { case (s, e, d) =>
             println(f"[serial-job] ${(e - s) / 1e3}%7.2fs  ${d.take(90)}")
           }

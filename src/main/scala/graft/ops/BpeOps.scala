@@ -27,6 +27,40 @@ object BpeOps {
 
   val EndMark = "</w>"
 
+  /** Below this many DISTINCT words the per-round Spark machinery (a
+    * 1-row argmax job + a checkpointed state rewrite per merge — fixed
+    * plan/schedule latency that dwarfs the work at harness scale) is
+    * replaced by ONE bounded collect of the (syms, freq) table and a
+    * driver merge loop — the same gated-driver-path pattern as
+    * ConnectedComponents.driverEdgeLimit. The DISTRIBUTED delta path is
+    * untouched above the limit (the 10⁸-row production regime).
+    *
+    * Limit derived from the actual driver heap, not a constant: a word
+    * row costs ~400 B of real heap (boxed symbol strings + freq + array
+    * overhead), budgeted at ≤10% of `Runtime.maxMemory` and never more
+    * than 500k words. */
+  val driverWordLimit: Long = {
+    val bytesPerWord = 400L
+    math.min(500000L, Runtime.getRuntime.maxMemory() / 10L / bytesPerWord)
+  }
+
+  /** Code-point lexicographic comparison — the order Spark's `orderBy`
+    * applies to strings (UTF8String compares unsigned UTF-8 bytes, which
+    * IS code-point order). Java's String.compareTo is UTF-16 code-UNIT
+    * order and DIVERGES for supplementary characters vs [U+E000,U+FFFF]
+    * — the driver argmax must break ties exactly like the distributed
+    * one, so it cannot use the platform ordering. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(i)
+      if (cx != cy) return cx < cy
+      i += Character.charCount(cx) // equal code points: same char count
+    }
+    x.length < y.length
+  }
+
   /** Whitespace-token (word, freq) table — one shuffle, partial-agg'd. */
   def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
@@ -93,8 +127,27 @@ object BpeOps {
     * separate count-table checkpoint was a third job per round, pure
     * fixed cost at harness scale); at scale the round's work is
     * proportional to the pair-bearing word fraction, not the corpus. */
-  def learnMerges(docs: DataFrame, k: Int, textCol: String = "text"): Seq[(String, String)] = {
+  def learnMerges(docs: DataFrame, k: Int, textCol: String = "text",
+                  driverLimit: Long = driverWordLimit): Seq[(String, String)] = {
     require(k >= 0, s"k must be >= 0, got $k")
+    // Small-vocabulary probe: ONE bounded action — a result of ≤ limit
+    // rows IS the complete (syms, freq) table, and the k merge rounds run
+    // as a driver loop with zero further Spark jobs. Symbolization stays
+    // in Spark (collected POST-toSymbols), so the split/EndMark semantics
+    // are byte-identical to the distributed path by construction; the
+    // argmax tie-break uses utf8Lt to reproduce orderBy's UTF-8 order.
+    // Vocabularies past the limit recompute wordFreqs once into the
+    // distributed state (that extra pass exists only in the regime where
+    // the per-round iteration cost dwarfs it) — same probe shape as
+    // ConnectedComponents.
+    if (driverLimit > 0) {
+      val probe = wordFreqs(docs, textCol)
+        .select(toSymbols(col("word")).as("syms"), col("freq"))
+        .limit(driverLimit.toInt + 1).collect()
+      if (probe.length <= driverLimit)
+        return driverLearnMerges(
+          probe.map(r => (r.getSeq[String](0).toArray, r.getLong(1))), k)
+    }
     def asState(words: DataFrame, counts: DataFrame): DataFrame =
       words.select(lit(0).as("kind"), col("syms"), col("freq"),
         lit(null).cast("string").as("left"), lit(null).cast("string").as("right"),
@@ -157,6 +210,62 @@ object BpeOps {
     }
     state.unpersist()
     merges.result()
+  }
+
+  /** Driver merge loop over a collected (syms, freq) table — semantics
+    * identical to the distributed rounds: every adjacent-pair OCCURRENCE
+    * adds the word's freq (the explode in `pairCounts`), argmax tie-break
+    * (cnt desc, left asc, right asc) under UTF-8 order, greedy
+    * left-to-right non-overlapping merge application (BpeMergePass's
+    * two-token lookahead), stop early when no pair remains. A full
+    * recount per round is O(total symbols) at driver-limit scale —
+    * the delta bookkeeping the distributed path needs buys nothing
+    * here. Equivalence pinned in BpeOpsSpec (driver vs forced-
+    * distributed, including a supplementary-character tie). */
+  private def driverLearnMerges(words0: Array[(Array[String], Long)],
+                                k: Int): Seq[(String, String)] = {
+    var words = words0
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        for (e <- counts) {
+          val better = best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2))))
+          if (better) best = e
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        words = words.map { case (syms, f) => (mergePassLocal(syms, a, b), f) }
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** Greedy left-to-right non-overlapping merge of (a, b) — the driver
+    * mirror of graft.functions.BpeMergePass. */
+  private def mergePassLocal(s: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.result()
   }
 
   /** Tokenize with a learned merge list: per word, the same fold applied

@@ -457,7 +457,12 @@ object Similarity {
       .select("vec_id", "band_id", "band_key").localCheckpoint(false)
     val qcodes = coded.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band_id"), col("band_key"))
-    val scored = coded.join(qcodes, Seq("band_id", "band_key"))
+    // the query-code side is bounded by nQueries × bands rows at ANY
+    // corpus scale, so broadcast it explicitly (same contract as
+    // knnBrute's broadcast(queries)): the checkpointed coded leaf has no
+    // usable size estimate, and an unhinted planner would smj-shuffle the
+    // ENTIRE corpus code table against ~10³ query rows
+    val scored = coded.join(broadcast(qcodes), Seq("band_id", "band_key"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()

@@ -66,6 +66,32 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(BpeOps.learnMerges(d1, 6) == BpeOps.learnMerges(d2, 6))
   }
 
+  test("distributed path (driver limit 0) matches the reference and the driver path") {
+    // the small-vocab driver path handles every corpus above; force the
+    // distributed delta rounds and pin all three against each other
+    val docs = corpus.toDF("text")
+    val words = corpus.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    val dist = BpeOps.learnMerges(docs, 10, driverLimit = 0)
+    assert(dist == refBpe(words, 10))
+    assert(dist == BpeOps.learnMerges(docs, 10))
+  }
+
+  test("driver argmax breaks ties in UTF-8 order like the distributed orderBy") {
+    // U+FFFD vs U+1D11E (a supplementary char): UTF-8/code-point order
+    // says U+FFFD < U+1D11E, Java's UTF-16 code-unit order says the
+    // OPPOSITE (the surrogate D834 < FFFD). After (q,</w>) merges first,
+    // the pairs (�, q</w>) and (𝄞, q</w>) tie on count —
+    // a driver path using the platform String ordering would pick the
+    // wrong one and diverge from the distributed merge list.
+    val tieCorpus = Seq("�q �q 𝄞q 𝄞q")
+    val docs = tieCorpus.toDF("text")
+    val dist = BpeOps.learnMerges(docs, 3, driverLimit = 0)
+    val drv = BpeOps.learnMerges(docs, 3)
+    assert(drv == dist)
+    assert(dist.contains(("�", s"q${BpeOps.EndMark}")) ||
+      dist.contains(("q", BpeOps.EndMark))) // sanity: the merges are real
+  }
+
   test("learnMerges stops early when no pairs remain") {
     val docs = Seq("a b a b").toDF("text") // all words single-char: one pair (x,</w>) each
     val merges = BpeOps.learnMerges(docs, 50)
