@@ -76,16 +76,27 @@ final case class DedupConfig(
       * hint the planner picks SortMergeJoin and ships the full probe-row
       * stream through two exchanges (measured at 350k docs × 8 cores:
       * 253+275 MB shuffle writes, a redundant third probe scan for the
-      * star branch, steady wall 30.6 s vs 22.7 s hinted). AQE cannot
-      * save the writes: both SMJ shuffle stages materialize in parallel
-      * BEFORE the runtime broadcast conversion, and the star branch's
-      * empty-relation pruning only fires when the build side is a
-      * broadcast stage. Set false at corpus scales where the
-      * multi-member-bucket table itself outgrows executor memory
-      * (~10⁸+ hot buckets): the joins then fall back to the planner's
-      * shuffle strategies, whose probe-row exchange doubles as the
-      * downstream per-bucket aggregation's partitioning. */
-    countsBroadcast: Boolean = true) {
+      * star branch, steady wall 30.6 s vs 22.7 s hinted; 2-core wall
+      * 104 → 73 s). AQE cannot save the writes: both smj shuffle stages
+      * materialize in parallel BEFORE the runtime broadcast conversion,
+      * and the star branch's empty-relation pruning only fires when the
+      * build side is a broadcast stage.
+      *
+      * Default FALSE — the scale-safe shape: at the 10¹²-doc design
+      * point the multi-member-bucket table itself outgrows executor
+      * memory (a forced broadcast would OOM), and the shuffle joins'
+      * probe-row exchange doubles as the downstream per-bucket
+      * aggregation's partitioning. The smj shape also keeps the
+      * single-box core-scaling profile (the removed work is
+      * embarrassingly parallel, so the broadcast improves 2-core walls
+      * more than 8-core walls: measured spillfree N→4N efficiency
+      * 0.87 unhinted vs 0.73 hinted at 350k docs). On a REAL cluster at
+      * fixed size the broadcast shape is strictly better whenever counts
+      * fits (two full network shuffles of the probe stream removed —
+      * shuffles get relatively slower as clusters scale out), so deploys
+      * opt in via SPARK_GRAFT_COUNTS_BROADCAST=true or an explicit
+      * config. */
+    countsBroadcast: Boolean = DedupConfig.countsBroadcastDefault) {
 
   require(minhashK == bands * rowsPerBand, "minhashK must equal bands*rowsPerBand")
 
@@ -97,6 +108,15 @@ final case class DedupConfig(
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+}
+
+object DedupConfig {
+  /** Deploy-level opt-in for the counts broadcast (see the field's
+    * scaladoc): false unless SPARK_GRAFT_COUNTS_BROADCAST=true, so the
+    * default config stays the scale-safe smj shape and a cluster deploy
+    * can flip the plan without code changes. */
+  val countsBroadcastDefault: Boolean =
+    sys.env.get("SPARK_GRAFT_COUNTS_BROADCAST").exists(_.equalsIgnoreCase("true"))
 }
 
 /**
@@ -447,21 +467,23 @@ object DedupStages {
       .select(col("channel"), col("bucket_key"), col("bucket_n"))
 
     // Attach (bucket_n, center) to EVERY multi-member probe row with ONE
-    // inner join, EXPLICITLY broadcast-hinted (cfg.countsBroadcast, on by
-    // default — see its scaladoc for the measured evidence and the scale
-    // bound): the raw probe rows are never shuffled or sorted — the fused
-    // probe scan streams through the join map-side, preserving the
-    // CPU-bound (→ core-scalable) profile of candidate generation. The
-    // hint is load-bearing: the checkpointed leaf's size ESTIMATE comes
-    // from the exploded probe scan underneath, so the unhinted planner
-    // picks SortMergeJoin and BOTH smj shuffle stages materialize (full
-    // probe-row exchanges) before AQE's runtime broadcast conversion can
-    // fire — measured at 350k docs × 8 cores: 30.6 s → 22.7 s steady
-    // wall, 216 → 150 core-s, two ~250 MB probe shuffles removed.
-    // (Earlier measured alternatives at 1.2M docs × 16 cores: an
-    // unhinted join shuffles 58M probe rows — candidates 104 s → 199 s;
-    // a window formulation shuffles AND sorts them twice — efficiency
-    // 0.77 → 0.56.)
+    // inner join, broadcast-hinted when cfg.countsBroadcast is set (a
+    // deploy opt-in — see the DedupConfig scaladoc for the full regime
+    // analysis and measurements): hinted, the raw probe rows are never
+    // shuffled or sorted — the fused probe scan streams through the join
+    // map-side (350k docs × 8 cores: 30.6 → 22.7 s steady wall, 216 →
+    // 150 core-s, two ~250 MB probe shuffles removed). The hint is what
+    // makes that shape possible: the checkpointed leaf's size ESTIMATE
+    // comes from the exploded probe scan underneath, so the unhinted
+    // planner picks SortMergeJoin and BOTH smj shuffle stages materialize
+    // (full probe-row exchanges) before AQE's runtime broadcast
+    // conversion can fire. Unhinted — the default — the probe-row
+    // exchange is not wasted: it doubles as the per-bucket aggregation's
+    // partitioning (no second exchange before CappedCollect), the shape
+    // holds at bucket cardinalities past broadcast limits, and the
+    // single-box N→4N scaling profile stays flat (0.87 vs 0.73 measured;
+    // the broadcast removes embarrassingly parallel work, which helps
+    // small-core walls more than large-core walls).
     //
     // Per-branch build-side filters (cold = under-cap, hot = over-cap) so
     // each branch's bucket_n predicate lives BELOW its join: when a pass
