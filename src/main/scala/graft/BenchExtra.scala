@@ -130,6 +130,39 @@ object BenchExtra {
       }))
 
     mode match {
+      case "cliqueab" =>
+        // interleaved A/B of the fused SortedCliquePairs expression vs
+        // the composed sort+zip+expand chain over a synthetic bucket
+        // table shaped like the 350k scaling corpus (millions of small
+        // multi-member buckets) — interleaving cancels host-load drift
+        import org.apache.spark.sql.Column
+        val nBuckets = args.lift(1).map(_.toInt).getOrElse(3000000)
+        val buckets = s.range(nBuckets.toLong).select(
+          transform(sequence(lit(0), pmod(col("id"), lit(3)) + 1),
+            i => xxhash64(col("id"), i)).as("ids"),
+          transform(sequence(lit(0), pmod(col("id"), lit(3)) + 1),
+            i => pmod(xxhash64(i, col("id")), lit(97))).as("tags"))
+          .localCheckpoint()
+        def pairExpand(m: Column): Column =
+          flatten(transform(m, (x, i) =>
+            transform(slice(m, i + lit(2), size(m)), y => struct(x.as("a"), y.as("b")))))
+        def composed = buckets.select(explode(pairExpand(array_sort(
+          zip_with(col("ids"), col("tags"),
+            (u, t) => struct(u.as("u"), t.as("t")))))).as("p"))
+          .select(col("p.a.u")).agg(count(lit(1))).head().getLong(0)
+        def fused = buckets.select(explode(graft.functions.cliquepairs
+          .sortedCliquePairs(col("ids"), col("tags"))).as("p"))
+          .select(col("p.a.u")).agg(count(lit(1))).head().getLong(0)
+        def t(f: => Long): Double = {
+          val t0 = System.nanoTime(); val r = f
+          val w = (System.nanoTime() - t0) / 1e9
+          assert(r > 0); w
+        }
+        t(fused); t(composed) // warm both
+        for (i <- 1 to 3)
+          println(f"[cliqueab] round=$i fused=${t(fused)}%.3f composed=${t(composed)}%.3f " +
+            f"fused2=${t(fused)}%.3f composed2=${t(composed)}%.3f")
+
       case "stage" =>
         // stage a deterministic synthetic corpus as parquet (the input
         // shape the scaling legs read) for Profile's serial mode

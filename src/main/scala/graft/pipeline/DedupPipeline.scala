@@ -503,12 +503,16 @@ object DedupStages {
     // buffers — never raw member lists — cross the wire)
     val collect = org.apache.spark.sql.functions.udaf(
       new graft.functions.CappedCollect(cfg.bucketCap))
+    // round-6: sort+zip+pair-expand fused into one native expression
+    // (graft.functions.SortedCliquePairs) — the composed
+    // pairExpand(array_sort(zip_with(...))) chain walked five
+    // lambda-bearing interpreted trees per bucket; bit-equivalence
+    // pinned in CliquePairsSpec
     val cliquePairs = tagged
       .groupBy(col("channel"), col("bucket_key"))
       .agg(collect(col("doc_id"), col("tag")).as("g"))
-      .select(col("channel"), array_sort(zip_with(col("g.ids"), col("g.tags"),
-        (u, t) => struct(u.as("u"), t.as("t")))).as("m"))
-      .select(col("channel"), explode(pairExpand(col("m"))).as("p"))
+      .select(col("channel"), explode(graft.functions.cliquepairs
+        .sortedCliquePairs(col("g.ids"), col("g.tags"))).as("p"))
       // SimHash buckets carry the full simhash as tag: apply the exact
       // Hamming residual; other families pair unconditionally
       .where(col("channel") =!= "simhash" ||
